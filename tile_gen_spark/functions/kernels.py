@@ -1,0 +1,490 @@
+"""Pure-numpy geometry kernels (SURVEY.md §2.8, G1–G14).
+
+These are the from-scratch computational core of the engine: every function is
+a pure, deterministic, numpy-vectorized kernel with zero Spark dependencies, so
+it can be unit-tested standalone and wrapped in Arrow ``pandas_udf``s
+(``BASELINE.json:15`` — "vectorized pandas/Arrow UDFs, no per-row Python").
+
+Formulas are the published public definitions:
+ - slippy-map z/x/y tiles  [OSM "Slippy map tilenames"]
+ - Web Mercator EPSG:3857
+ - Bing Maps quadkeys (base-4 interleave)
+ - even-odd ray-casting point-in-polygon  [Shimrat 1962]
+ - Sutherland–Hodgman polygon clipping  [CACM 1974]
+ - Liang–Barsky segment clipping
+ - haversine great-circle distance
+ - shoelace signed area
+ - scanline polygon rasterization / marching-squares vectorization
+
+The reference checkout at /root/reference is empty (SURVEY.md §0); the
+authoritative spec for which kernels must exist is ``BASELINE.json:6,14``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Web-Mercator latitude clamp: tile math is undefined beyond this.
+MAX_LAT = 85.05112878
+EARTH_RADIUS_M = 6371008.8
+MERCATOR_R = 6378137.0
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 — counter-based deterministic hashing (FIXTURES.md: "splitmix64-
+# style"); partition-count invariant because value = f(seed, index) only.
+# ---------------------------------------------------------------------------
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 input. Vectorized, stateless."""
+    z = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def h64(index: np.ndarray, seed: int, stream: int = 0) -> np.ndarray:
+    """Deterministic per-row uint64: f(seed, stream, row-index)."""
+    base = np.asarray(index, dtype=np.uint64)
+    mix = np.uint64((seed * 0x9E3779B97F4A7C15 + stream * 0xD1B54A32D192ED03) % (1 << 64))
+    return splitmix64(base ^ mix)
+
+
+def hu(index: np.ndarray, seed: int, stream: int = 0) -> np.ndarray:
+    """Uniform float64 in [0,1) from h64."""
+    return (h64(index, seed, stream) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+# ---------------------------------------------------------------------------
+# G1 — lon/lat → Web Mercator (EPSG:3857)
+# ---------------------------------------------------------------------------
+
+def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    x = lon * (np.pi / 180.0) * MERCATOR_R
+    y = MERCATOR_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def mercator_to_lonlat(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.asarray(x, dtype=np.float64) / MERCATOR_R * (180.0 / np.pi)
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / MERCATOR_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# G2 — point → slippy tile (z, x, y)   [OSM slippy-map tilenames]
+# The exact same formula is emitted as SQL by functions/sqlgen.py so the
+# Spark relational path, this numpy path, and the DuckDB oracle all agree.
+# ---------------------------------------------------------------------------
+
+def point_to_tile(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    n = float(1 << z)
+    # NaN/Inf are filtered upstream by the validity predicate (SURVEY.md P4);
+    # defensively map them to 0.0 here so output stays in-range/deterministic.
+    lon = np.nan_to_num(np.asarray(lon, dtype=np.float64), nan=0.0, posinf=180.0, neginf=-180.0)
+    lat = np.nan_to_num(np.asarray(lat, dtype=np.float64), nan=0.0, posinf=MAX_LAT, neginf=-MAX_LAT)
+    lat = np.clip(lat, -MAX_LAT, MAX_LAT)
+    xt = np.floor((lon + 180.0) / 360.0 * n)
+    lat_r = np.radians(lat)
+    yt = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n)
+    xt = np.clip(xt, 0, n - 1).astype(np.int64)
+    yt = np.clip(yt, 0, n - 1).astype(np.int64)
+    return xt, yt
+
+
+# G3 — tile → lon/lat bounds (west, south, east, north)
+
+def tile_bounds(z: np.ndarray, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    z = np.asarray(z, dtype=np.int64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = np.power(2.0, z.astype(np.float64))
+    west = x / n * 360.0 - 180.0
+    east = (x + 1.0) / n * 360.0 - 180.0
+    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y / n))))
+    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (y + 1.0) / n))))
+    return west, south, east, north
+
+
+# ---------------------------------------------------------------------------
+# G4 — quadkey encode/decode   [Bing Maps tile system]
+# ---------------------------------------------------------------------------
+
+def quadkey_encode(x: np.ndarray, y: np.ndarray, z: int) -> np.ndarray:
+    """Vectorized quadkey: base-4 string of length z (MSB-first interleave)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if z == 0:
+        return np.full(x.shape, "", dtype=object)
+    digits = np.empty((z, x.size), dtype=np.int64)
+    for i in range(1, z + 1):
+        shift = z - i
+        digits[i - 1] = ((x >> shift) & 1) + 2 * ((y >> shift) & 1)
+    chars = digits.astype("U1")
+    out = np.empty(x.size, dtype=object)
+    for j in range(x.size):  # join per row; z<=12 so cheap vs string vectorize
+        out[j] = "".join(chars[:, j])
+    return out
+
+
+def quadkey_decode(qk: str) -> tuple[int, int, int]:
+    x = y = 0
+    for c in qk:
+        d = int(c)
+        x = (x << 1) | (d & 1)
+        y = (y << 1) | (d >> 1)
+    return len(qk), x, y
+
+
+# ---------------------------------------------------------------------------
+# G7 — point-in-polygon, even-odd ray casting [Shimrat 1962]
+# Boundary rule (documented, fixed): a point exactly on an edge or vertex is
+# INSIDE. Vectorized across the point batch; loop over polygon edges only.
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """px, py: (N,) point coords. ring: flat [x0,y0,x1,y1,...] closed or open.
+
+    Returns boolean (N,) — even-odd rule, boundary counts as inside.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if r.shape[0] >= 2 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    nv = r.shape[0]
+    inside = np.zeros(px.shape, dtype=bool)
+    on_edge = np.zeros(px.shape, dtype=bool)
+    for i in range(nv):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % nv]
+        # crossing test (half-open rule avoids double-count at vertices)
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        crosses = cond & (px < xint)
+        inside ^= crosses
+        # boundary check: point on segment [p1,p2]
+        dx, dy = x2 - x1, y2 - y1
+        cross = (px - x1) * dy - (py - y1) * dx
+        dot = (px - x1) * dx + (py - y1) * dy
+        seg_len2 = dx * dx + dy * dy
+        on_edge |= (np.abs(cross) <= 1e-12 * max(1.0, np.sqrt(seg_len2))) & (dot >= 0) & (dot <= seg_len2)
+    return inside | on_edge
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Polygon with holes: ring 0 exterior, rings 1+ holes (even-odd overall)."""
+    acc = np.zeros(np.asarray(px).shape, dtype=bool)
+    for ring in rings:
+        acc ^= points_in_ring(px, py, ring)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# G8 — polygon → covering tiles at zoom z
+# bbox tile range; keep tiles whose bbox intersects the polygon:
+#   tile bbox corner inside polygon OR polygon vertex inside tile bbox OR
+#   any edge pair intersects. For the candidate grids at z<=12 a cheaper
+#   sufficient test: tile-bbox vs polygon via (a) vertex-in-bbox, (b) bbox
+#   corner-in-polygon, (c) edge/bbox-edge intersection.
+# ---------------------------------------------------------------------------
+
+def _segments_intersect_bbox(r: np.ndarray, w: float, s: float, e: float, n: float) -> bool:
+    """Any polygon edge intersects the bbox boundary (Liang–Barsky per edge)."""
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    t0 = np.zeros(x1.shape)
+    t1 = np.ones(x1.shape)
+    dx, dy = x2 - x1, y2 - y1
+    ok = np.ones(x1.shape, dtype=bool)
+    for p, q in ((-dx, x1 - w), (dx, e - x1), (-dy, y1 - s), (dy, n - y1)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / p
+        par_out = (p == 0) & (q < 0)
+        ok &= ~par_out
+        ent = (p < 0)
+        t0 = np.where(ok & ent, np.maximum(t0, np.where(np.isnan(t), t0, t)), t0)
+        t1 = np.where(ok & (p > 0), np.minimum(t1, np.where(np.isnan(t), t1, t)), t1)
+    return bool(np.any(ok & (t0 <= t1)))
+
+
+def polygon_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
+    """Tiles at zoom z whose bbox intersects the polygon. Returns (K,2) int64
+    array of (x, y). Exact per the documented boundary rule (touch = cover)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if not np.allclose(r[0], r[-1]):
+        r = np.vstack([r, r[0]])
+    lons, lats = r[:, 0], np.clip(r[:, 1], -MAX_LAT, MAX_LAT)
+    tx, ty = point_to_tile(lons, lats, z)
+    x0, x1 = int(tx.min()), int(tx.max())
+    y0, y1 = int(ty.min()), int(ty.max())
+    out = []
+    for yy in range(y0, y1 + 1):
+        for xx in range(x0, x1 + 1):
+            w, s, e, n = (v.item() for v in tile_bounds(np.array([z]), np.array([xx]), np.array([yy])))
+            # (a) any polygon vertex inside tile bbox
+            if np.any((lons >= w) & (lons <= e) & (lats >= s) & (lats <= n)):
+                out.append((xx, yy))
+                continue
+            # (b) tile corner inside polygon
+            cx = np.array([w, e, e, w])
+            cy = np.array([s, s, n, n])
+            if np.any(points_in_ring(cx, cy, r.ravel())):
+                out.append((xx, yy))
+                continue
+            # (c) polygon edge crosses bbox
+            if _segments_intersect_bbox(r, w, s, e, n):
+                out.append((xx, yy))
+    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# G9 — Sutherland–Hodgman polygon clip against an axis-aligned bbox
+# [Sutherland & Hodgman, CACM 1974]. Lines: Liang–Barsky per segment.
+# ---------------------------------------------------------------------------
+
+def clip_ring_bbox(ring: np.ndarray, w: float, s: float, e: float, n: float) -> np.ndarray:
+    """Clip a ring (flat or (V,2)) to bbox; returns (V',2) array (may be empty).
+
+    Four half-plane passes; vertices exactly on the boundary are kept.
+    """
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if pts.shape[0] >= 2 and np.allclose(pts[0], pts[-1]):
+        pts = pts[:-1]
+
+    def clip_half(poly: np.ndarray, axis: int, bound: float, keep_ge: bool) -> np.ndarray:
+        if poly.shape[0] == 0:
+            return poly
+        cur = poly
+        prv = np.roll(poly, 1, axis=0)
+        cv = cur[:, axis]
+        pv = prv[:, axis]
+        cin = (cv >= bound) if keep_ge else (cv <= bound)
+        pin = (pv >= bound) if keep_ge else (pv <= bound)
+        out_pts: list[np.ndarray] = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (bound - pv) / (cv - pv)
+            inter = prv + (cur - prv) * np.nan_to_num(t)[:, None]
+        for i in range(cur.shape[0]):
+            if cin[i]:
+                if not pin[i]:
+                    out_pts.append(inter[i])
+                out_pts.append(cur[i])
+            elif pin[i]:
+                out_pts.append(inter[i])
+        return np.asarray(out_pts, dtype=np.float64).reshape(-1, 2)
+
+    p = clip_half(pts, 0, w, True)
+    p = clip_half(p, 0, e, False)
+    p = clip_half(p, 1, s, True)
+    p = clip_half(p, 1, n, False)
+    return p
+
+
+def clip_segments_bbox(coords: np.ndarray, w: float, s: float, e: float, n: float) -> list[np.ndarray]:
+    """Liang–Barsky clip of a polyline to bbox → list of clipped sub-polylines."""
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    pieces: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(pts.shape[0] - 1):
+        x1, y1 = pts[i]
+        x2, y2 = pts[i + 1]
+        t0, t1 = 0.0, 1.0
+        dx, dy = x2 - x1, y2 - y1
+        ok = True
+        for p, q in ((-dx, x1 - w), (dx, e - x1), (-dy, y1 - s), (dy, n - y1)):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                t = q / p
+                if p < 0:
+                    t0 = max(t0, t)
+                else:
+                    t1 = min(t1, t)
+        if not ok or t0 > t1:
+            if cur:
+                pieces.append(cur)
+                cur = []
+            continue
+        a = np.array([x1 + t0 * dx, y1 + t0 * dy])
+        b = np.array([x1 + t1 * dx, y1 + t1 * dy])
+        if cur and np.allclose(cur[-1], a):
+            cur.append(b)
+        else:
+            if cur:
+                pieces.append(cur)
+            cur = [a, b]
+        if t1 < 1.0:
+            pieces.append(cur)
+            cur = []
+    if cur:
+        pieces.append(cur)
+    return [np.asarray(p) for p in pieces if len(p) >= 2]
+
+
+# ---------------------------------------------------------------------------
+# G10 — haversine distance (meters)
+# ---------------------------------------------------------------------------
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# G11 — quantize lon/lat to tile-local integer coords [MVT 2.1 extent 4096]
+# ---------------------------------------------------------------------------
+
+MVT_EXTENT = 4096
+
+
+def quantize_to_tile(lon: np.ndarray, lat: np.ndarray, z: int, x: int, y: int,
+                     extent: int = MVT_EXTENT) -> tuple[np.ndarray, np.ndarray]:
+    wb, sb, eb, nb = tile_bounds(np.array([z]), np.array([x]), np.array([y]))
+    w, s, e, n = wb.item(), sb.item(), eb.item(), nb.item()
+    # mercator-linear in y per MVT convention
+    _, my_n = lonlat_to_mercator(np.zeros(1), np.array([n]))
+    _, my_s = lonlat_to_mercator(np.zeros(1), np.array([s]))
+    my_n, my_s = my_n.item(), my_s.item()
+    _, py = lonlat_to_mercator(np.asarray(lon) * 0, np.asarray(lat, dtype=np.float64))
+    qx = np.rint((np.asarray(lon, dtype=np.float64) - w) / (e - w) * extent).astype(np.int64)
+    qy = np.rint((my_n - py) / (my_n - my_s) * extent).astype(np.int64)
+    return np.clip(qx, 0, extent), np.clip(qy, 0, extent)
+
+
+def dedupe_consecutive(qx: np.ndarray, qy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop repeated consecutive vertices after quantization [MVT 2.1]."""
+    if qx.size == 0:
+        return qx, qy
+    keep = np.ones(qx.size, dtype=bool)
+    keep[1:] = (qx[1:] != qx[:-1]) | (qy[1:] != qy[:-1])
+    return qx[keep], qy[keep]
+
+
+# ---------------------------------------------------------------------------
+# G12 — shoelace signed area / winding normalization [MVT 2.1 §4.3.3.3]
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if r.shape[0] >= 2 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    if r.shape[0] < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def normalize_winding(ring: np.ndarray, ccw: bool = True) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    a = ring_signed_area(r)
+    if (a < 0 and ccw) or (a > 0 and not ccw):
+        return r[::-1].copy()
+    return r
+
+
+# ---------------------------------------------------------------------------
+# G13 — rasterize polygon(s) onto a W×H tile grid (scanline fill)
+# Grid cell (i, j) covered iff its center is inside a polygon (even-odd).
+# ---------------------------------------------------------------------------
+
+def rasterize_rings(rings: list[np.ndarray], w: float, s: float, e: float, n: float,
+                    width: int = 256, height: int = 256) -> np.ndarray:
+    """Binary coverage grid, row-major (row 0 = north edge), float32."""
+    grid = np.zeros((height, width), dtype=np.float32)
+    if not rings:
+        return grid
+    xs = w + (np.arange(width) + 0.5) * (e - w) / width
+    ys = n - (np.arange(height) + 0.5) * (n - s) / height  # row 0 at north
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        if r.shape[0] >= 2 and np.allclose(r[0], r[-1]):
+            r = r[:-1]
+        if r.shape[0] < 3:
+            continue
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for row in range(height):
+            py = ys[row]
+            cond = (y1 > py) != (y2 > py)
+            if not np.any(cond):
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            crossings = np.sort(xint[cond])
+            # even-odd fill between crossing pairs
+            for k in range(0, crossings.size - 1, 2):
+                lo, hi = crossings[k], crossings[k + 1]
+                grid[row] += ((xs > lo) & (xs < hi)).astype(np.float32)
+    return (grid % 2 >= 1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# G14 — vectorize a binary grid back to boundary rings (exact boundary trace)
+# Pixel-boundary contour extraction: emits directed unit edges between filled
+# and empty pixels, chains them into closed rings. Stronger than midpoint
+# marching squares for our contract: re-rasterizing the rings (pixel-center
+# even-odd test) reproduces the input grid EXACTLY — a pinnable round-trip.
+# ---------------------------------------------------------------------------
+
+def vectorize_grid(grid: np.ndarray) -> list[np.ndarray]:
+    """Binary grid → list of closed boundary rings, coordinates matching the
+    ``rasterize_rings`` frame with bounds (0, 0, W, H): x = column, y = H - row
+    (y up, row 0 at the north/top edge). Deterministic (row-major scan,
+    lexicographic tie-break when chaining)."""
+    g = (np.asarray(grid) >= 0.5)
+    h, w = g.shape
+    up = np.zeros_like(g)
+    up[1:, :] = g[:-1, :]
+    down = np.zeros_like(g)
+    down[:-1, :] = g[1:, :]
+    left = np.zeros_like(g)
+    left[:, 1:] = g[:, :-1]
+    right = np.zeros_like(g)
+    right[:, :-1] = g[:, 1:]
+
+    segs: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    # clockwise around each filled pixel in row/col space (= CCW with y up)
+    for i, j in zip(*np.nonzero(g & ~up)):
+        segs.append(((j, i), (j + 1, i)))           # top edge, +x
+    for i, j in zip(*np.nonzero(g & ~right)):
+        segs.append(((j + 1, i), (j + 1, i + 1)))   # right edge, +y(down)
+    for i, j in zip(*np.nonzero(g & ~down)):
+        segs.append(((j + 1, i + 1), (j, i + 1)))   # bottom edge, -x
+    for i, j in zip(*np.nonzero(g & ~left)):
+        segs.append(((j, i + 1), (j, i)))           # left edge, -y(down)
+
+    from collections import defaultdict
+    start: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for idx, (a, _b) in enumerate(segs):
+        start[a].append(idx)
+    for lst in start.values():
+        lst.sort(key=lambda k: segs[k][1])
+    used = [False] * len(segs)
+    rings: list[np.ndarray] = []
+    for idx in range(len(segs)):
+        if used[idx]:
+            continue
+        used[idx] = True
+        a, b = segs[idx]
+        ring = [a, b]
+        while ring[-1] != ring[0]:
+            nxts = [k for k in start.get(ring[-1], []) if not used[k]]
+            if not nxts:
+                break
+            k = nxts[0]
+            used[k] = True
+            ring.append(segs[k][1])
+        if ring[-1] == ring[0] and len(ring) >= 4:
+            arr = np.asarray(ring[:-1], dtype=np.float64)
+            arr[:, 1] = h - arr[:, 1]  # row/col → y-up frame
+            rings.append(arr)
+    return rings

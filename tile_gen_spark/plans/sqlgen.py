@@ -1,0 +1,134 @@
+"""Dialect-parametrized SQL fragment builders (Spark SQL + DuckDB).
+
+The driver contract (``__spark_entry__.py``) compares every Spark query against
+a DuckDB oracle over the same parquet (row count + schema + order-insensitive
+value hash). To make that comparison airtight, the shared math — deterministic
+synthetic lon/lat derived from testdata keys (FIXTURES.md §4), slippy tile
+formulas (G2), quadkeys (G4), haversine (G10), portable 60-bit md5 hashing —
+is emitted from ONE builder in two dialects, so both engines evaluate the same
+expression tree.
+
+Dialect differences handled here:
+  - string cast:       Spark ``CAST(x AS STRING)``   vs DuckDB ``CAST(x AS VARCHAR)``
+  - hex → bigint:      Spark ``conv(h,16,10)``        vs DuckDB ``CAST('0x'||h AS BIGINT)``
+  - everything else (floor/ln/tan/cos/radians/pi/least/greatest/%/concat/md5)
+    is shared ANSI-ish SQL both engines evaluate identically on float64.
+
+Everything returns plain SQL text; the Spark side runs it with ``spark.sql``
+over temp views, the oracle side is returned verbatim from ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+MAX_LAT = 85.05112878
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def cast_str(expr: str, d: str) -> str:
+    return f"CAST({expr} AS STRING)" if d == SPARK else f"CAST({expr} AS VARCHAR)"
+
+
+def md5_bigint(expr: str, d: str) -> str:
+    """Portable positive 60-bit hash: first 15 hex chars of md5 → bigint."""
+    h = f"substring(md5({cast_str(expr, d)}), 1, 15)"
+    if d == SPARK:
+        return f"CAST(conv({h}, 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || {h}) AS BIGINT)"
+
+
+def lcg(expr: str, a: int, b: int, m: int) -> str:
+    """Arithmetic-only hash — identical text in both dialects.
+
+    Inputs must stay < 2^63 / a to avoid overflow: callers pass small keys.
+    """
+    return f"((({expr}) * {a} + {b}) % {m})"
+
+
+# --- deterministic synthetic points from lineitem keys (FIXTURES.md §4) -----
+
+def pt_key() -> str:
+    return "(l_orderkey * 8 + l_linenumber)"
+
+
+def pt_lon(key: str | None = None) -> str:
+    k = key or pt_key()
+    return f"({lcg(k, 2654435761, 1013904223, 360000000)} / 1000000.0 - 180.0)"
+
+
+def pt_lat(key: str | None = None) -> str:
+    k = key or pt_key()
+    return f"({lcg(k, 2246822519, 3266489917, 170102256)} / 1000000.0 - 85.051128)"
+
+
+# --- G2: slippy tile math (OSM slippy-map tilenames), shared text ----------
+
+def clamped_lat(lat: str) -> str:
+    return f"least(greatest({lat}, -{MAX_LAT}), {MAX_LAT})"
+
+
+def tile_x(lon: str, z: int) -> str:
+    n = 1 << z
+    return (f"CAST(least(greatest(floor((({lon}) + 180.0) / 360.0 * {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+
+
+def tile_y(lat: str, z: int) -> str:
+    n = 1 << z
+    la = clamped_lat(lat)
+    merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
+    return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+
+
+# --- G4: quadkey as fixed-z digit concatenation ------------------------------
+
+def quadkey(x: str, y: str, z: int, d: str) -> str:
+    if z == 0:
+        return "''"
+    parts = []
+    for i in range(1, z + 1):
+        p = 1 << (z - i)
+        digit = (f"(CAST(floor(({x}) / {p}.0) AS BIGINT) % 2"
+                 f" + 2 * (CAST(floor(({y}) / {p}.0) AS BIGINT) % 2))")
+        parts.append(cast_str(digit, d))
+    return "concat(" + ", ".join(parts) + ")"
+
+
+# --- G10: haversine meters, shared text --------------------------------------
+
+def haversine(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (
+        f"(2.0 * 6371008.8 * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2))))"
+    )
+
+
+# --- G3: tile → bounds (west/south/east/north), shared text ------------------
+
+def tile_bounds_cols(z: int, x: str, y: str) -> dict[str, str]:
+    n = 1 << z
+    return {
+        "west": f"(({x}) / {n}.0 * 360.0 - 180.0)",
+        "east": f"((({x}) + 1.0) / {n}.0 * 360.0 - 180.0)",
+        "north": f"degrees(atan((exp(pi() * (1.0 - 2.0 * ({y}) / {n}.0)) - exp(-pi() * (1.0 - 2.0 * ({y}) / {n}.0))) / 2.0))",
+        "south": f"degrees(atan((exp(pi() * (1.0 - 2.0 * (({y}) + 1.0) / {n}.0)) - exp(-pi() * (1.0 - 2.0 * (({y}) + 1.0) / {n}.0))) / 2.0))",
+    }
+
+
+# --- deterministic synthetic zones (convex polygons) from nation keys --------
+# Zone c: center from hashed key; radius 0.5°–3°; vertices = regular hexagon.
+# Emitted as per-vertex rows so the PIP oracle can run the even-odd edge test
+# in pure SQL (see __spark_entry__.oracle_sql: q_pip_join).
+
+def zone_center_lon(key: str) -> str:
+    return f"({lcg(key, 1103515245, 12345, 340000000)} / 1000000.0 - 170.0)"
+
+
+def zone_center_lat(key: str) -> str:
+    return f"({lcg(key, 69069, 362437, 140000000)} / 1000000.0 - 70.0)"
+
+
+def zone_radius(key: str) -> str:
+    return f"({lcg(key, 214013, 2531011, 2500000)} / 1000000.0 + 0.5)"
