@@ -1,0 +1,126 @@
+"""P5 + G15 (SURVEY.md §2.2, §2.8): vectorized text extraction & geo parsing.
+
+P5: ``html:binary → text:string`` with the byte-identity contract — the
+extractor output must equal the corpus ``text`` column byte-for-byte per url
+(``BASELINE.json:15``). Implemented as a scalar Arrow ``pandas_udf`` using
+pandas vectorized ``.str`` ops only; no per-row Python UDF calls.
+
+G15: parse inline geo spans (``@@geo point|line|poly lon lat[; ...]@@``,
+FIXTURES.md §1) out of extracted text into the ``features`` table
+(SURVEY.md §1.3) via ``mapInPandas`` — one output row per span, geometry as
+``array<array<double>>`` flat rings.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.functions import pandas_udf
+
+FEATURES_SCHEMA = ("url string, feature_id bigint, kind string, "
+                   "coords array<array<double>>, props map<string,string>")
+
+_TITLE_RE = r"<title>(.*?)</title>"
+_PARA_RE = r"<p>(.*?)</p>"
+_GEO_RE = re.compile(r"@@geo (point|line|poly) ([^@]*)@@")
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Inverse of the corpus html template: title + paragraphs, newline-joined.
+
+    Pure pandas .str pipeline (Arrow-vectorized); byte-identical per url by
+    construction against sources/synth.py's template (``BASELINE.json:15``).
+    """
+    s = html.map(lambda b: b.decode("utf-8") if b is not None else None)
+    s = pd.Series(s, dtype="string")
+    title = s.str.extract(_TITLE_RE, expand=False)
+    paras = s.str.findall(_PARA_RE).map(lambda ls: "\n".join(ls) if isinstance(ls, list) else "")
+    out = title.fillna("") + np.where(paras.str.len() > 0, "\n" + paras, "")
+    return out.astype(object).where(s.notna(), None)
+
+
+def _fid(url: str, idx: int) -> int:
+    """Deterministic positive 60-bit feature id from (url, span index)."""
+    import hashlib
+    h = hashlib.md5(("%s#%d" % (url, idx)).encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def parse_geo_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """G15: explode geo spans of each page into feature rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, fids, kinds, coords, props = [], [], [], [], []
+            for url, text in zip(b["url"], b[text_col]):
+                if text is None:
+                    continue
+                for idx, m in enumerate(_GEO_RE.finditer(text)):
+                    kind = m.group(1)
+                    pts = []
+                    ok = True
+                    for pair in m.group(2).split(";"):
+                        parts = pair.split()
+                        if len(parts) != 2:
+                            ok = False
+                            break
+                        try:
+                            lo, la = float(parts[0]), float(parts[1])
+                        except ValueError:
+                            ok = False
+                            break
+                        pts.extend((lo, la))
+                    if not ok or not pts:
+                        continue
+                    if kind == "point" and len(pts) != 2:
+                        continue
+                    if kind == "line" and len(pts) < 4:
+                        continue
+                    if kind == "poly" and len(pts) < 6:
+                        continue
+                    urls.append(url)
+                    fids.append(_fid(url, idx))
+                    kinds.append("polygon" if kind == "poly" else kind)
+                    coords.append([pts])
+                    props.append({"src": "geo-span", "i": str(idx)})
+            yield pd.DataFrame({
+                "url": pd.Series(urls, dtype="string"),
+                "feature_id": pd.Series(fids, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="string"),
+                "coords": pd.Series(coords, dtype=object),
+                "props": pd.Series(props, dtype=object),
+            })
+
+    return pages.select("url", text_col).mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def latest_per_url(pages: DataFrame) -> DataFrame:
+    """J5: latest-snapshot dedup — one row per url, max warc_ts (window)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("html")))
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def validity_filter(features: DataFrame) -> DataFrame:
+    """P4: drop NaN / out-of-range coords and degenerate geometries."""
+    first_ring = F.col("coords")[0]
+    xs = F.filter(F.transform(first_ring, lambda v, i: F.when(i % 2 == 0, v)), lambda v: v.isNotNull())
+    ys = F.filter(F.transform(first_ring, lambda v, i: F.when(i % 2 == 1, v)), lambda v: v.isNotNull())
+    in_range = (
+        (F.array_max(xs) <= 180.0) & (F.array_min(xs) >= -180.0)
+        & (F.array_max(ys) <= 90.0) & (F.array_min(ys) >= -90.0)
+        & ~F.exists(first_ring, lambda v: F.isnan(v) | v.isNull())
+    )
+    min_len = (F.when(F.col("kind") == "point", 2)
+               .when(F.col("kind") == "line", 4)
+               .otherwise(6))
+    return features.filter(in_range & (F.size(first_ring) >= min_len))
