@@ -1,0 +1,176 @@
+"""J2 + similarity search (SURVEY.md §2.3 J2, §2 "similarity search").
+
+Geo kNN (``BASELINE.json:6,14`` "kNN via indexed broadcast of cell
+neighbors"): candidates are indexed by H3-lite hex cell; each query point
+explodes its kRing-``k`` neighbor cells, the (small) cell→candidate index is
+broadcast, exact haversine refines, and a window takes top-k. Queries whose
+kRing found fewer than k candidates fall back to a brute-force pass (left-anti
+to find them — at scale this is the rare sparse-ocean tail).
+
+Embedding kNN: brute-force cosine top-k as the exact baseline (the DuckDB
+oracle), plus an LSH-bucketed approximate variant (random-hyperplane SimHash
+bands) as the 100 TB scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import LongType, ArrayType
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import cells as C
+from ..functions import kernels as K
+
+
+@pandas_udf(LongType())
+def _hex_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    r = int(res.iloc[0])
+    return pd.Series(C.hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), r))
+
+
+def _kring_udf(k: int):
+    @pandas_udf(ArrayType(LongType()))
+    def fn(cell: pd.Series) -> pd.Series:
+        arr = C.hex_kring(cell.to_numpy(np.int64), k)
+        return pd.Series(list(arr))
+    return fn
+
+
+def _haversine_col(lon1, lat1, lon2, lat2):
+    return (2.0 * 6371008.8 * F.asin(F.sqrt(
+        F.pow(F.sin((F.radians(lat2) - F.radians(lat1)) / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / 2), 2))))
+
+
+def knn_geo(queries: DataFrame, candidates: DataFrame, k: int = 5,
+            res: int = 5, kring: int = 1) -> DataFrame:
+    """queries(query_id, lon, lat) × candidates(cand_id, lon, lat) → top-k.
+
+    Returns (query_id, neighbor_id, dist_m, rank). Deterministic tie-break:
+    (distance, neighbor_id). Exact — falls back to brute force for queries the
+    cell index under-serves, so output equals the brute-force oracle.
+    """
+    cand = candidates.withColumn(
+        "cell", _hex_cell_udf("lon", "lat", F.lit(res))).select(
+        F.col("cand_id"), F.col("lon").alias("clon"), F.col("lat").alias("clat"), "cell")
+    q = queries.withColumn("cell0", _hex_cell_udf("lon", "lat", F.lit(res)))
+    qx = q.withColumn("cell", F.explode(_kring_udf(kring)("cell0"))).select(
+        "query_id", "lon", "lat", "cell")
+
+    # indexed broadcast of cell neighbors (BASELINE.json:6): the cell→cand
+    # index is the small side → broadcast hash join, no shuffle of candidates
+    pairs = qx.join(F.broadcast(cand), "cell").select(
+        "query_id", "lon", "lat", "cand_id", "clon", "clat")
+    ranked = _rank_topk(pairs, k)
+
+    # sparse-cell fallback: queries whose kRing yielded < k candidates (incl.
+    # ZERO — they never appear in `ranked`) → exact brute-force pass
+    enough = (ranked.groupBy("query_id").count().filter(F.col("count") >= k)
+              .select("query_id"))
+    have_full = ranked.join(enough, "query_id", "left_semi")
+    missing = queries.join(enough, "query_id", "left_anti")
+    brute = _rank_topk(
+        missing.crossJoin(F.broadcast(cand.select("cand_id", "clon", "clat"))), k)
+    return have_full.unionByName(brute)
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    d = pairs.withColumn("dist_m", _haversine_col(
+        F.col("lon"), F.col("lat"), F.col("clon"), F.col("clat")))
+    w = Window.partitionBy("query_id").orderBy("dist_m", "cand_id")
+    return (d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("cand_id").alias("neighbor_id"), "dist_m", "rank"))
+
+
+def knn_geo_bruteforce(queries: DataFrame, candidates: DataFrame, k: int = 5) -> DataFrame:
+    """J8 oracle: exact brute-force kNN (test scale only)."""
+    cand = candidates.select(F.col("cand_id"), F.col("lon").alias("clon"),
+                             F.col("lat").alias("clat"))
+    return _rank_topk(queries.crossJoin(F.broadcast(cand)), k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _cosine_cols():
+    """dot / (|a| |b|) over two array<float> cols, JVM-side higher-order fns."""
+    dot = F.aggregate(F.zip_with("emb_q", "emb_c", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate("emb_q", F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate("emb_c", F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: queries(vec_id, embedding) × corpus(vec_id, embedding).
+
+    Brute force with a broadcast query side — at 100 TB the corpus streams
+    once per query batch; for larger query sets use knn_embeddings_lsh.
+    Returns (query_id, neighbor_id, cos_sim, rank); self-match excluded.
+    """
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("emb_q"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").cast("array<double>").alias("emb_c"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _cosine_cols())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes from splitmix64 (no RNG state)."""
+    idx = np.arange(dim * bits, dtype=np.uint64)
+    u = (K.h64(idx, seed, 7).astype(np.float64) / float(2 ** 64)) * 2.0 - 1.0
+    return u.reshape(bits, dim)
+
+
+def knn_embeddings_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                       bits: int = 16, bands: int = 4, seed: int = 42,
+                       dim: int = 64) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH, banded.
+
+    Sign-bits of ``bits`` hyperplane projections, split into ``bands`` bands;
+    vectors sharing any band bucket become candidates; exact cosine re-ranks.
+    Recall < 1 by design (approximate); the 100 TB win is that the join is
+    equi on (band, bucket) instead of a cross join.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    per_band = bits // bands
+    planes_b = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+
+    def with_buckets(df: DataFrame, idc: str, embc: str) -> DataFrame:
+        emb = F.col(embc).cast("array<double>")
+        sig = F.transform(planes_b, lambda row: (F.aggregate(
+            F.zip_with(row, emb, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, v: acc + v) > 0).cast("int"))
+        bucket_exprs = []
+        for b in range(bands):
+            bit_slice = F.slice(sig, b * per_band + 1, per_band)
+            bucket = F.aggregate(bit_slice, F.lit(0), lambda acc, v: acc * 2 + v)
+            bucket_exprs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+        return df.select(F.col(idc), emb.alias("emb"),
+                         F.explode(F.array(*bucket_exprs)).alias("bb"))
+
+    qb = with_buckets(queries, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("emb_q"), "bb")
+    cb = with_buckets(corpus, "vec_id", "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("emb_c"), "bb")
+    cand = (qb.join(cb, "bb").filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("cos_sim", _cosine_cols())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
