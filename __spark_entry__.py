@@ -292,7 +292,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.sql(q_tile_assign_multizoom(S.SPARK))
 
 
+from tile_gen_spark.operators import textops as T
+
 _SQL_QUERIES: dict[str, Callable[[str], str]] = {
+    "minhash_pairs": T.q_minhash_pairs,
+    "simhash": T.q_simhash,
+    "simhash_near_dups": T.q_simhash_near_dups,
+    "lang_id": T.q_lang_id,
+    "quality_score": T.q_quality_score,
+    "fingerprint": T.q_fingerprint,
+    "dedup_groups": T.q_dedup_groups,
     "tile_assign_z8": q_tile_assign_z8,
     "tile_assign_multizoom": q_tile_assign_multizoom,
     "quadkey_buckets": q_quadkey_buckets,

@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract): headline queries at SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "tiles_per_sec_z0_12", "value": N, "unit": "tiles/sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Headline queries:
+  tile_pipeline   — synthetic pages corpus → extract → parse geo → assign
+                    z0..12 → clip → per-tile MVT-equivalent lists (the
+                    ``BASELINE.json:2`` metric: tiles/sec)
+  pip_join        — quadkey-bucketed point-in-polygon join (joined rows/sec)
+  tile_assign     — pure-relational multizoom assignment over lineitem points
+  knn_embeddings  — exact cosine top-k over the embeddings table
+  dedup_minhash   — MinHash-LSH candidate pairs over documents
+
+The synthetic corpus is generated once (deterministic, seed=42) into /tmp and
+reused; the bench times the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "50000"))
+ZOOMS = list(range(0, 13))
+
+
+def _sf() -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else -1.0
+
+
+def _pages_path() -> str:
+    return f"/tmp/tilegen_bench_pages_n{N_PAGES}"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tile_gen_spark.plans.session import get_spark
+    from tile_gen_spark.sources.synth import gen_pages, gen_zones
+    from tile_gen_spark.sources.testdata import register_views
+    from tile_gen_spark.operators.extract import (extract_text, latest_per_url,
+                                                  parse_geo_features, validity_filter)
+    from tile_gen_spark.operators.tiles import build_tile_features
+    from tile_gen_spark.operators.spatial_join import pip_join
+    from tile_gen_spark.operators.knn import knn_embeddings
+    from tile_gen_spark.operators.textops import minhash_lsh_pairs
+    import __spark_entry__ as E
+    from tile_gen_spark.plans import sqlgen as S
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    register_views(spark, SF_DIR)
+
+    pages_path = _pages_path()
+    if not os.path.exists(pages_path):
+        gen_pages(spark, N_PAGES, seed=42, parallelism=CPUS * 2).write.mode(
+            "overwrite").parquet(pages_path)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm-up (JVM/codegen/Arrow) — small, untimed
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+
+    # --- tile_pipeline: the headline tiles/sec metric ---
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    latest = latest_per_url(pages)
+    extracted = latest.withColumn("etext", extract_text("html"))
+    feats = validity_filter(parse_geo_features(extracted, "etext"))
+    tiles = build_tile_features(feats, ZOOMS, salt=8)
+    n_tiles, n_feat_rows = tiles.select(
+        F.count("*"), F.sum("n_features")).first()
+    dt = time.time() - t0
+    timings["tile_pipeline"] = round(dt, 2)
+    tiles_per_sec = n_tiles / dt
+    extras["n_tiles"] = int(n_tiles)
+    extras["n_tile_feature_rows"] = int(n_feat_rows)
+
+    # --- pip_join: joined rows/sec ---
+    t0 = time.time()
+    pts = spark.sql(E._points_cte(S.SPARK))
+    pts = pts.withColumnRenamed("point_id", "point_id")
+    verts = spark.sql(E._zone_vertices(S.SPARK, E.N_ZONES))
+    zones = (verts.groupBy("zone_id")
+             .agg(F.flatten(F.array_sort(F.collect_list(
+                 F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
+                 .alias("ring")))
+    n_pairs = pip_join(pts, zones, res=6).count()
+    dt = time.time() - t0
+    timings["pip_join"] = round(dt, 2)
+    extras["n_pip_pairs"] = int(n_pairs)
+    extras["joined_rows_per_sec"] = round(n_pairs / dt, 1)
+
+    # --- tile_assign: relational multizoom ---
+    t0 = time.time()
+    spark.sql(E.q_tile_assign_multizoom(S.SPARK)).collect()
+    timings["tile_assign"] = round(time.time() - t0, 2)
+
+    # --- knn_embeddings ---
+    t0 = time.time()
+    emb = spark.table("embeddings")
+    knn_embeddings(emb, emb, k=5).count()
+    timings["knn_embeddings"] = round(time.time() - t0, 2)
+
+    # --- dedup_minhash ---
+    t0 = time.time()
+    docs = spark.table("documents")
+    minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+    timings["dedup_minhash"] = round(time.time() - t0, 2)
+
+    total = round(sum(timings.values()), 2)
+    print(json.dumps({
+        "metric": "tiles_per_sec_z0_12",
+        "value": round(tiles_per_sec, 1),
+        "unit": "tiles/sec",
+        "queries": timings,
+        "sf": _sf(),
+        "total_sec": total,
+        "cpus": CPUS,
+        "n_pages": N_PAGES,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -223,3 +223,15 @@ def test_splitmix_partition_invariance():
     assert np.array_equal(a, b)
     u = K.hu(idx, seed=42)
     assert 0.0 <= u.min() and u.max() < 1.0 and abs(u.mean() - 0.5) < 0.05
+
+
+def test_clip_fast_matches_numpy():
+    rng = np.random.RandomState(5)
+    for _ in range(200):
+        nv = rng.randint(3, 9)
+        pts = rng.uniform(-4, 4, (nv, 2))
+        a = K.clip_ring_bbox(pts, -1, -1, 1, 1)
+        b = K.clip_ring_bbox_fast([tuple(v) for v in pts], -1, -1, 1, 1)
+        assert a.shape[0] == len(b)
+        if len(b):
+            assert np.allclose(a, np.asarray(b), atol=0, rtol=0)

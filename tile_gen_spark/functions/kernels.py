@@ -194,26 +194,58 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -
 
 def _segments_intersect_bbox(r: np.ndarray, w: float, s: float, e: float, n: float) -> bool:
     """Any polygon edge intersects the bbox boundary (Liang–Barsky per edge)."""
-    x1, y1 = r[:-1, 0], r[:-1, 1]
-    x2, y2 = r[1:, 0], r[1:, 1]
-    t0 = np.zeros(x1.shape)
-    t1 = np.ones(x1.shape)
-    dx, dy = x2 - x1, y2 - y1
-    ok = np.ones(x1.shape, dtype=bool)
-    for p, q in ((-dx, x1 - w), (dx, e - x1), (-dy, y1 - s), (dy, n - y1)):
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = q / p
-        par_out = (p == 0) & (q < 0)
-        ok &= ~par_out
-        ent = (p < 0)
-        t0 = np.where(ok & ent, np.maximum(t0, np.where(np.isnan(t), t0, t)), t0)
-        t1 = np.where(ok & (p > 0), np.minimum(t1, np.where(np.isnan(t), t1, t)), t1)
-    return bool(np.any(ok & (t0 <= t1)))
+    return bool(np.any(_edges_cross_bboxes(
+        r, np.array([w]), np.array([s]), np.array([e]), np.array([n]))))
+
+
+def _edges_cross_bboxes(r: np.ndarray, w: np.ndarray, s: np.ndarray,
+                        e: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """For each of K bboxes, does ANY edge of polyline r intersect it?
+    Liang–Barsky accept test, vectorized over the K bboxes per edge."""
+    k = w.shape[0]
+    hit = np.zeros(k, dtype=bool)
+    for i in range(r.shape[0] - 1):
+        x1, y1 = r[i]
+        x2, y2 = r[i + 1]
+        dx, dy = x2 - x1, y2 - y1
+        t0 = np.zeros(k)
+        t1 = np.ones(k)
+        ok = np.ones(k, dtype=bool)
+        for p, q in ((-dx, x1 - w), (dx, e - x1), (-dy, y1 - s), (dy, n - y1)):
+            if p == 0:
+                ok &= q >= 0
+            else:
+                t = q / p
+                if p < 0:
+                    t0 = np.maximum(t0, t)
+                else:
+                    t1 = np.minimum(t1, t)
+        hit |= ok & (t0 <= t1)
+        if hit.all():
+            break
+    return hit
+
+
+def _tile_bounds_grid(z: int, x0: int, x1: int, y0: int, y1: int):
+    """Vectorized bounds for the candidate grid [x0..x1]×[y0..y1] at zoom z.
+    Returns (xx, yy, w, s, e, n) flat arrays of length K."""
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    XX, YY = np.meshgrid(xs, ys)
+    xx, yy = XX.ravel(), YY.ravel()
+    n_t = float(1 << z)
+    w = xx / n_t * 360.0 - 180.0
+    e = (xx + 1.0) / n_t * 360.0 - 180.0
+    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy / n_t))))
+    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (yy + 1.0) / n_t))))
+    return xx, yy, w, south, e, north
 
 
 def polygon_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
     """Tiles at zoom z whose bbox intersects the polygon. Returns (K,2) int64
-    array of (x, y). Exact per the documented boundary rule (touch = cover)."""
+    array of (x, y). Exact per the documented boundary rule (touch = cover).
+    Fully vectorized over the candidate grid: vertex-tile marking (O(V)),
+    corner-in-polygon ray cast and per-edge Liang–Barsky over all K tiles."""
     r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     if not np.allclose(r[0], r[-1]):
         r = np.vstack([r, r[0]])
@@ -221,24 +253,24 @@ def polygon_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
     tx, ty = point_to_tile(lons, lats, z)
     x0, x1 = int(tx.min()), int(tx.max())
     y0, y1 = int(ty.min()), int(ty.max())
-    out = []
-    for yy in range(y0, y1 + 1):
-        for xx in range(x0, x1 + 1):
-            w, s, e, n = (v.item() for v in tile_bounds(np.array([z]), np.array([xx]), np.array([yy])))
-            # (a) any polygon vertex inside tile bbox
-            if np.any((lons >= w) & (lons <= e) & (lats >= s) & (lats <= n)):
-                out.append((xx, yy))
-                continue
-            # (b) tile corner inside polygon
-            cx = np.array([w, e, e, w])
-            cy = np.array([s, s, n, n])
-            if np.any(points_in_ring(cx, cy, r.ravel())):
-                out.append((xx, yy))
-                continue
-            # (c) polygon edge crosses bbox
-            if _segments_intersect_bbox(r, w, s, e, n):
-                out.append((xx, yy))
-    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+    xx, yy, w, s, e, n = _tile_bounds_grid(z, x0, x1, y0, y1)
+    nx = x1 - x0 + 1
+    covered = np.zeros(xx.shape[0], dtype=bool)
+    # (a) vertex inside tile ⇔ the vertex's own tile
+    covered[(ty - y0) * nx + (tx - x0)] = True
+    # (b) tile corner inside polygon: 4K corner ray-casts in one vector pass
+    rem = ~covered
+    if np.any(rem):
+        cx = np.concatenate([w[rem], e[rem], e[rem], w[rem]])
+        cy = np.concatenate([s[rem], s[rem], n[rem], n[rem]])
+        hit4 = points_in_ring(cx, cy, r.ravel()).reshape(4, -1).any(axis=0)
+        covered[np.nonzero(rem)[0][hit4]] = True
+    # (c) polygon edge crosses the tile bbox
+    rem = ~covered
+    if np.any(rem):
+        hit = _edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
+        covered[np.nonzero(rem)[0][hit]] = True
+    return np.column_stack([xx[covered], yy[covered]])
 
 
 # ---------------------------------------------------------------------------
@@ -265,9 +297,11 @@ def clip_ring_bbox(ring: np.ndarray, w: float, s: float, e: float, n: float) -> 
         cin = (cv >= bound) if keep_ge else (cv <= bound)
         pin = (pv >= bound) if keep_ge else (pv <= bound)
         out_pts: list[np.ndarray] = []
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             t = (bound - pv) / (cv - pv)
-            inter = prv + (cur - prv) * np.nan_to_num(t)[:, None]
+            # t is only consumed on crossing edges (cv != pv → finite); zero
+            # out inf/nan so the unused lanes don't overflow
+            inter = prv + (cur - prv) * np.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)[:, None]
         for i in range(cur.shape[0]):
             if cin[i]:
                 if not pin[i]:
@@ -327,6 +361,40 @@ def clip_segments_bbox(coords: np.ndarray, w: float, s: float, e: float, n: floa
     return [np.asarray(p) for p in pieces if len(p) >= 2]
 
 
+def clip_ring_bbox_fast(pts: list[tuple[float, float]], w: float, s: float,
+                        e: float, n: float) -> list[tuple[float, float]]:
+    """Pure-Python Sutherland–Hodgman for small rings (the tile-clip hot loop
+    runs millions of clips on ≤~32-vertex rings, where numpy's per-array
+    overhead dominates; this is ~8× faster there). Semantics identical to
+    clip_ring_bbox (see test_kernels equivalence test)."""
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def half(poly, axis, bound, keep_ge):
+        if not poly:
+            return poly
+        out = []
+        px, py = poly[-1]
+        pv = px if axis == 0 else py
+        pin = (pv >= bound) if keep_ge else (pv <= bound)
+        for cx, cy in poly:
+            cv = cx if axis == 0 else cy
+            cin = (cv >= bound) if keep_ge else (cv <= bound)
+            if cin != pin:
+                t = (bound - pv) / (cv - pv)
+                out.append((px + (cx - px) * t, py + (cy - py) * t))
+            if cin:
+                out.append((cx, cy))
+            px, py, pv, pin = cx, cy, cv, cin
+        return out
+
+    p = half(list(pts), 0, w, True)
+    p = half(p, 0, e, False)
+    p = half(p, 1, s, True)
+    p = half(p, 1, n, False)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # G10 — haversine distance (meters)
 # ---------------------------------------------------------------------------
@@ -348,15 +416,18 @@ MVT_EXTENT = 4096
 
 def quantize_to_tile(lon: np.ndarray, lat: np.ndarray, z: int, x: int, y: int,
                      extent: int = MVT_EXTENT) -> tuple[np.ndarray, np.ndarray]:
-    wb, sb, eb, nb = tile_bounds(np.array([z]), np.array([x]), np.array([y]))
-    w, s, e, n = wb.item(), sb.item(), eb.item(), nb.item()
-    # mercator-linear in y per MVT convention
-    _, my_n = lonlat_to_mercator(np.zeros(1), np.array([n]))
-    _, my_s = lonlat_to_mercator(np.zeros(1), np.array([s]))
-    my_n, my_s = my_n.item(), my_s.item()
-    _, py = lonlat_to_mercator(np.asarray(lon) * 0, np.asarray(lat, dtype=np.float64))
-    qx = np.rint((np.asarray(lon, dtype=np.float64) - w) / (e - w) * extent).astype(np.int64)
-    qy = np.rint((my_n - py) / (my_n - my_s) * extent).astype(np.int64)
+    """Tile-local ints = (G2 tile fraction − tile index) · extent — exactly the
+    point→tile formula, so quantization and assignment can never disagree,
+    and the identical expression is emitted as SQL for the relational point
+    path (plans/sqlgen.quantize_*)."""
+    n = float(1 << z)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    fx = (lon + 180.0) / 360.0 * n - x
+    lat_r = np.radians(lat)
+    fy = (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n - y
+    qx = np.floor(fx * extent + 0.5).astype(np.int64)
+    qy = np.floor(fy * extent + 0.5).astype(np.int64)
     return np.clip(qx, 0, extent), np.clip(qy, 0, extent)
 
 

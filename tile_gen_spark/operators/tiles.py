@@ -93,19 +93,22 @@ def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
 
 
 def _line_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
-    """Tiles whose bbox a polyline touches (vertex-in-box or segment crossing)."""
+    """Tiles whose bbox a polyline touches — vectorized over the candidate
+    grid (vertex-tile marking + per-edge Liang–Barsky accept)."""
     r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     lons, lats = r[:, 0], np.clip(r[:, 1], -K.MAX_LAT, K.MAX_LAT)
     tx, ty = K.point_to_tile(lons, lats, z)
-    out = []
-    for yy in range(int(ty.min()), int(ty.max()) + 1):
-        for xx in range(int(tx.min()), int(tx.max()) + 1):
-            w, s, e, n = (v.item() for v in K.tile_bounds(np.array([z]), np.array([xx]), np.array([yy])))
-            if np.any((lons >= w) & (lons <= e) & (lats >= s) & (lats <= n)):
-                out.append((xx, yy))
-            elif K._segments_intersect_bbox(r, w, s, e, n):
-                out.append((xx, yy))
-    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+    x0, x1 = int(tx.min()), int(tx.max())
+    y0, y1 = int(ty.min()), int(ty.max())
+    xx, yy, w, s, e, n = K._tile_bounds_grid(z, x0, x1, y0, y1)
+    nx = x1 - x0 + 1
+    covered = np.zeros(xx.shape[0], dtype=bool)
+    covered[(ty - y0) * nx + (tx - x0)] = True
+    rem = ~covered
+    if np.any(rem):
+        hit = K._edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
+        covered[np.nonzero(rem)[0][hit]] = True
+    return np.column_stack([xx[covered], yy[covered]])
 
 
 def assign_features(features: DataFrame, zooms: list[int]) -> DataFrame:
@@ -120,39 +123,61 @@ def clip_features(features: DataFrame, assignments: DataFrame,
                   extent: int = K.MVT_EXTENT) -> DataFrame:
     """G9+G11: join features to their tiles, clip to tile bbox, quantize.
 
-    The join is a plain equi-join on feature_id (sort-merge / shuffled-hash,
-    AQE-managed); clipping is Arrow-batched per partition.
+    Scale split:
+     - POINTS (the bulk of assignments) never touch Python: quantization is
+       the pure-SQL expression (tile_fraction − tile_index)·extent
+       (plans/sqlgen.quantize_*), whole-stage-codegen'd.
+     - LINES/POLYGONS go through one Arrow batch pass; tile bounds and
+       mercator constants are computed vectorized per batch, the per-feature
+       loop only runs the O(vertices) clip kernels.
+    The join is a plain equi-join on feature_id (AQE picks broadcast/SMJ/SHJ
+    and splits skewed tiles).
     """
     joined = assignments.join(
         features.select("feature_id", "kind", "coords", "props"), "feature_id")
 
+    pts = joined.filter(F.col("kind") == "point")
+    qx = S.quantize_x("coords[0][0]", "CAST(z AS DOUBLE)", "CAST(x AS DOUBLE)", extent)
+    qy = S.quantize_y("coords[0][1]", "CAST(z AS DOUBLE)", "CAST(y AS DOUBLE)", extent)
+    pts_out = pts.select(
+        "z", "x", "y", "feature_id", "kind",
+        F.array(F.array(F.expr(qx), F.expr(qy))).alias("geom"),
+        "props")
+
+    shp = joined.filter(F.col("kind") != "point")
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if len(b) == 0:
+                continue
+            zs = b["z"].to_numpy(np.int64)
+            xs = b["x"].to_numpy(np.float64)
+            ys = b["y"].to_numpy(np.float64)
+            # vectorized tile bounds for the whole batch (lon/lat bbox)
+            nn = np.power(2.0, zs.astype(np.float64))
+            west = xs / nn * 360.0 - 180.0
+            east = (xs + 1.0) / nn * 360.0 - 180.0
+            north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / nn))))
+            south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (ys + 1.0) / nn))))
             rows: dict[str, list] = {k: [] for k in ("z", "x", "y", "feature_id", "kind", "geom", "props")}
-            for fid, z, x, y, kind, coords, props in zip(
-                    b["feature_id"], b["z"], b["x"], b["y"], b["kind"], b["coords"], b["props"]):
+            for i, (fid, kind, coords, props) in enumerate(zip(
+                    b["feature_id"], b["kind"], b["coords"], b["props"])):
                 ring = np.asarray(coords[0], dtype=np.float64)
-                w, s, e, n = (v.item() for v in K.tile_bounds(
-                    np.array([z]), np.array([x]), np.array([y])))
-                pieces: list[np.ndarray] = []
-                if kind == "point":
-                    pieces = [ring.reshape(-1, 2)]
-                elif kind == "line":
-                    pieces = K.clip_segments_bbox(ring, w, s, e, n)
+                z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
+                if kind == "line":
+                    pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
                 else:
-                    clipped = K.clip_ring_bbox(ring, w, s, e, n)
-                    if clipped.shape[0] >= 3:
-                        pieces = [K.normalize_winding(clipped, ccw=True)]
+                    clipped = K.clip_ring_bbox(ring, west[i], south[i], east[i], north[i])
+                    pieces = [K.normalize_winding(clipped, ccw=True)] if clipped.shape[0] >= 3 else []
                 geom = []
                 for p in pieces:
-                    qx, qy = K.quantize_to_tile(p[:, 0], p[:, 1], int(z), int(x), int(y), extent)
-                    if kind != "point":
-                        qx, qy = K.dedupe_consecutive(qx, qy)
-                    if kind == "line" and qx.size < 2:
+                    gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+                    gx, gy = K.dedupe_consecutive(gx, gy)
+                    if kind == "line" and gx.size < 2:
                         continue
-                    if kind == "polygon" and qx.size < 3:
+                    if kind == "polygon" and gx.size < 3:
                         continue
-                    geom.append(np.column_stack([qx, qy]).ravel().astype(np.int32).tolist())
+                    geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
                 if not geom:
                     continue
                 rows["z"].append(z)
@@ -172,7 +197,114 @@ def clip_features(features: DataFrame, assignments: DataFrame,
                 "props": pd.Series(rows["props"], dtype=object),
             })
 
-    return joined.mapInPandas(fn, CLIP_SCHEMA)
+    return pts_out.unionByName(shp.mapInPandas(fn, CLIP_SCHEMA))
+
+
+def clip_points_relational(points: DataFrame, zooms: list[int],
+                           extent: int = K.MVT_EXTENT) -> DataFrame:
+    """Fused assign+quantize for points — pure Spark SQL, no join, no Python.
+
+    One select per zoom over the same scan (Catalyst collapses them); each row
+    emits its tile id (G2) and tile-local quantized geometry (G11) from the
+    same tile-fraction expression."""
+    pts = with_lonlat(points).select("feature_id", "kind", "lon", "lat", "props")
+    parts = []
+    for z in zooms:
+        qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z), extent)
+        qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z), extent)
+        parts.append(pts.select(
+            F.lit(z).cast("int").alias("z"),
+            F.expr(S.tile_x("lon", z)).alias("x"),
+            F.expr(S.tile_y("lat", z)).alias("y"),
+            "feature_id", "kind",
+            F.array(F.array(F.expr(qx), F.expr(qy))).alias("geom"),
+            "props"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
+                       extent: int = K.MVT_EXTENT) -> DataFrame:
+    """Fused covering+clip+quantize for lines/polygons — ONE Arrow crossing,
+    no assignments join (each feature's coords cross the boundary once instead
+    of once per covering tile; at z≤12 a large polygon covers 10³ tiles, so
+    this is a ~650× reduction in shuffled bytes for the synthetic corpus)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: dict[str, list] = {k: [] for k in ("z", "x", "y", "feature_id", "kind", "geom", "props")}
+            for fid, kind, coords, props in zip(
+                    b["feature_id"], b["kind"], b["coords"], b["props"]):
+                ring = np.asarray(coords[0], dtype=np.float64)
+                for z in zooms:
+                    if kind == "polygon":
+                        tiles = K.polygon_covering_tiles(ring, z)
+                    else:
+                        tiles = _line_covering_tiles(ring, z)
+                    if tiles.shape[0] == 0:
+                        continue
+                    n_t = float(1 << z)
+                    west = tiles[:, 0] / n_t * 360.0 - 180.0
+                    east = (tiles[:, 0] + 1.0) / n_t * 360.0 - 180.0
+                    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * tiles[:, 1] / n_t))))
+                    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (tiles[:, 1] + 1.0) / n_t))))
+                    ring_t = [tuple(v) for v in ring.reshape(-1, 2)]
+                    for i in range(tiles.shape[0]):
+                        x, y = int(tiles[i, 0]), int(tiles[i, 1])
+                        if kind == "line":
+                            pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
+                        else:
+                            c = K.clip_ring_bbox_fast(ring_t, west[i], south[i], east[i], north[i])
+                            if len(c) >= 3:
+                                arr = np.asarray(c, dtype=np.float64)
+                                pieces = [K.normalize_winding(arr, ccw=True)]
+                            else:
+                                pieces = []
+                        geom = []
+                        for p in pieces:
+                            gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+                            gx, gy = K.dedupe_consecutive(gx, gy)
+                            if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
+                                continue
+                            geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
+                        if not geom:
+                            continue
+                        rows["z"].append(z)
+                        rows["x"].append(x)
+                        rows["y"].append(y)
+                        rows["feature_id"].append(fid)
+                        rows["kind"].append(kind)
+                        rows["geom"].append(geom)
+                        rows["props"].append(props)
+            yield pd.DataFrame({
+                "z": pd.Series(rows["z"], dtype="int32"),
+                "x": pd.Series(rows["x"], dtype="int64"),
+                "y": pd.Series(rows["y"], dtype="int64"),
+                "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
+                "kind": pd.Series(rows["kind"], dtype="string"),
+                "geom": pd.Series(rows["geom"], dtype=object),
+                "props": pd.Series(rows["props"], dtype=object),
+            })
+
+    sel = shapes.select("feature_id", "kind", "coords", "props")
+    # clip CPU is proportional to covering-tile count, which varies 1000× per
+    # feature — hash-spread rows across the full parallelism so no AQE-
+    # coalesced partition serializes the big polygons (skew, BASELINE.json:6)
+    n_parts = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return sel.repartition(n_parts, "feature_id").mapInPandas(fn, CLIP_SCHEMA)
+
+
+def build_tile_features(features: DataFrame, zooms: list[int],
+                        salt: int = 0, extent: int = K.MVT_EXTENT) -> DataFrame:
+    """EP2 pipeline: features → clipped per-tile rows → MVT-equivalent lists.
+
+    Points take the zero-Python relational path; shapes take the single-pass
+    Arrow path. Repartitioning by shape feature_id spreads big polygons."""
+    pts = clip_points_relational(features.filter(F.col("kind") == "point"), zooms, extent)
+    shp = clip_shapes_direct(features.filter(F.col("kind") != "point"), zooms, extent)
+    return tile_feature_lists(pts.unionByName(shp), salt=salt)
 
 
 def tile_feature_lists(clipped: DataFrame, salt: int = 0) -> DataFrame:

@@ -80,6 +80,22 @@ def tile_y(lat: str, z: int) -> str:
     return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
 
 
+# --- G11: tile-local quantization as SQL (variable z/x/y columns) -----------
+# quantize = (G2 tile fraction − tile index) · extent; identical formula to
+# kernels.quantize_to_tile so relational and kernel paths agree.
+
+def quantize_x(lon: str, z: str, x: str, extent: int = 4096) -> str:
+    fx = f"((({lon}) + 180.0) / 360.0 * pow(2.0, {z}) - ({x}))"
+    return (f"CAST(least(greatest(floor({fx} * {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+
+
+def quantize_y(lat: str, z: str, y: str, extent: int = 4096) -> str:
+    la = clamped_lat(lat)
+    merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
+    fy = f"((1.0 - {merc} / pi()) / 2.0 * pow(2.0, {z}) - ({y}))"
+    return (f"CAST(least(greatest(floor({fy} * {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+
+
 # --- G4: quadkey as fixed-z digit concatenation ------------------------------
 
 def quadkey(x: str, y: str, z: int, d: str) -> str:

@@ -105,9 +105,11 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
                 nv = 3 + int(h64(gi, seed, 13)[0] % np.uint64(4))
                 vi = np.arange(nv, dtype=np.uint64) + gi[0] * np.uint64(977)
                 lons, lats = _coord_pair(vi, seed, 30)
-                # keep multi-vertex shapes local: anchor to first vertex
-                lons = np.round(lons[0] + (lons - lons[0]) * 0.02, 6)
-                lats = np.round(np.clip(lats[0] + (lats - lats[0]) * 0.02, -MAX_LAT, MAX_LAT), 6)
+                # keep multi-vertex shapes city-scale: anchor to first vertex
+                # (≤ ~0.36° spread → a few covering tiles at z12, hundreds for
+                # the largest — realistic MVT feature sizes)
+                lons = np.round(lons[0] + (lons - lons[0]) * 0.002, 6)
+                lats = np.round(np.clip(lats[0] + (lats - lats[0]) * 0.002, -MAX_LAT, MAX_LAT), 6)
                 coords = "; ".join("%.6f %.6f" % (lo, la) for lo, la in zip(lons, lats))
                 span = "@@geo %s %s@@" % ("line" if kind == 1 else "poly", coords)
             lines.append(span)
