@@ -1,0 +1,175 @@
+"""Integration tests: SURVEY.md §5 layers 2-3 (invariants + golden fixtures).
+
+Run with a shared local[8] session (conftest). The contracts tested here are
+the spec's exact-match requirements (``BASELINE.json:2,6,15``):
+byte-identical extracted text, deterministic tile assignments under any
+parallelism, clip containment, join-output equality vs brute-force oracles,
+checkpoint-resume idempotence.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_extract_byte_identity(spark, pages):
+    from tile_gen_spark.operators.extract import extract_text
+    chk = pages.withColumn("etext", extract_text("html"))
+    assert chk.filter(F.col("etext") != F.col("text")).count() == 0
+    # sha256 equality form of the same contract
+    sha = chk.select(F.sha2("text", 256).alias("a"), F.sha2("etext", 256).alias("b"))
+    assert sha.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_corpus_partition_invariance(spark, pages):
+    from tile_gen_spark.sources.synth import gen_pages
+    p2 = gen_pages(spark, 600, seed=42, parallelism=3)
+    assert pages.select("url", "text", "lang").exceptAll(
+        p2.select("url", "text", "lang")).count() == 0
+
+
+def test_assignment_determinism_across_partitioning(spark, features):
+    from tile_gen_spark.operators.tiles import assign_features
+    a1 = assign_features(features.repartition(1), [3, 9])
+    a2 = assign_features(features.repartition(16), [3, 9])
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+    assert a1.count() > 0
+
+
+def test_point_assignment_matches_kernel(spark, features):
+    """Relational G2 SQL == numpy kernel, bit for bit."""
+    from tile_gen_spark.operators.tiles import assign_points, with_lonlat
+    from tile_gen_spark.functions import kernels as K
+    pts = features.filter("kind = 'point'")
+    rel = assign_points(pts, [12]).toPandas()
+    raw = with_lonlat(pts).select("feature_id", "lon", "lat").toPandas()
+    kx, ky = K.point_to_tile(raw["lon"].to_numpy(), raw["lat"].to_numpy(), 12)
+    kern = {(f, 12, x, y) for f, x, y in zip(raw["feature_id"], kx, ky)}
+    got = {tuple(r) for r in rel[["feature_id", "z", "x", "y"]].values.tolist()}
+    assert got == kern
+
+
+def test_clip_containment_and_tile_lists(spark, features):
+    from tile_gen_spark.operators.tiles import (build_tile_features,
+                                                clip_points_relational,
+                                                clip_shapes_direct)
+    zooms = [2, 6, 10]
+    pts = clip_points_relational(features.filter("kind='point'"), zooms)
+    shp = clip_shapes_direct(features.filter("kind!='point'"), zooms)
+    allc = pts.unionByName(shp)
+    mm = allc.select(
+        F.min(F.array_min(F.flatten("geom"))).alias("lo"),
+        F.max(F.array_max(F.flatten("geom"))).alias("hi")).first()
+    assert mm["lo"] >= 0 and mm["hi"] <= 4096
+
+    tiles = build_tile_features(features, zooms).cache()
+    assert tiles.filter(F.col("n_features") != F.size("features")).count() == 0
+    # per-tile lists sorted by feature_id (determinism contract)
+    unsorted = tiles.filter(F.exists(
+        F.zip_with(F.col("features"), F.slice(F.col("features"), 2, 100000),
+                   lambda a, b: a.feature_id > b.feature_id), lambda v: v))
+    assert unsorted.count() == 0
+
+
+def test_salted_agg_equals_unsalted(spark, features):
+    from tile_gen_spark.operators.tiles import build_tile_features
+    t0 = build_tile_features(features, [5], salt=0).select("z", "x", "y", "n_features")
+    t4 = build_tile_features(features, [5], salt=4).select("z", "x", "y", "n_features")
+    assert t0.exceptAll(t4).count() == 0 and t4.exceptAll(t0).count() == 0
+
+
+def test_pip_join_matches_bruteforce(spark):
+    from tile_gen_spark.sources.synth import gen_zones, gen_pages
+    from tile_gen_spark.operators.spatial_join import pip_join
+    from tile_gen_spark.functions import kernels as K
+
+    zones = gen_zones(spark, 40, seed=7).cache()
+    pts = (spark.range(500)
+           .select(F.col("id").alias("point_id"),
+                   (F.pmod(F.hash(F.col("id")), F.lit(340000000)) / 1000000.0 - 170.0).alias("lon"),
+                   (F.pmod(F.hash(F.col("id") + 99), F.lit(140000000)) / 1000000.0 - 70.0).alias("lat"))
+           .cache())
+    got = {(r["point_id"], r["zone_id"])
+           for r in pip_join(pts, zones, res=5).collect()}
+    # brute-force numpy oracle
+    zp = zones.toPandas()
+    pp = pts.toPandas()
+    want = set()
+    for _, zrow in zp.iterrows():
+        ring = np.asarray(zrow["ring"], dtype=np.float64)
+        inside = K.points_in_ring(pp["lon"].to_numpy(), pp["lat"].to_numpy(), ring)
+        for pid in pp["point_id"].to_numpy()[inside]:
+            want.add((int(pid), int(zrow["zone_id"])))
+    assert got == want and len(want) > 0
+
+
+def test_knn_geo_matches_bruteforce(spark):
+    from tile_gen_spark.operators.knn import knn_geo, knn_geo_bruteforce
+    q = (spark.range(40).select(
+        F.col("id").alias("query_id"),
+        ((F.hash(F.col("id") + 7) % 20000000) / 1000000.0 + 10.0).alias("lon"),
+        ((F.hash(F.col("id") + 13) % 10000000) / 1000000.0 + 45.0).alias("lat"))).cache()
+    c = (spark.range(300).select(
+        F.col("id").alias("cand_id"),
+        ((F.hash(F.col("id") + 3) % 20000000) / 1000000.0 + 10.0).alias("lon"),
+        ((F.hash(F.col("id") + 5) % 10000000) / 1000000.0 + 45.0).alias("lat"))).cache()
+    a = knn_geo(q, c, k=3, res=4, kring=2).select("query_id", "neighbor_id", "rank")
+    b = knn_geo_bruteforce(q, c, k=3).select("query_id", "neighbor_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 40 * 3
+
+
+def test_raster_roundtrip_on_tiles(spark, features):
+    from tile_gen_spark.operators.tiles import clip_shapes_direct
+    from tile_gen_spark.operators.raster import raster_roundtrip_check
+    clipped = clip_shapes_direct(features.filter("kind = 'polygon'"), [4])
+    chk = raster_roundtrip_check(clipped, width=64, height=64).cache()
+    assert chk.count() > 0
+    assert chk.filter(F.col("mass") != F.col("mass_rt")).count() == 0
+
+
+def test_checkpoint_resume(spark, features):
+    from tile_gen_spark.operators.checkpoint import run_tile_job
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "tiles")
+        man = os.path.join(td, "manifest")
+        s1 = run_tile_job(spark, features, out, man, [2, 3])
+        assert s1["zooms_run"] == 2 and s1["zooms_skipped"] == 0
+        s2 = run_tile_job(spark, features, out, man, [2, 3, 4])
+        assert s2["zooms_run"] == 1 and s2["zooms_skipped"] == 2
+        got = spark.read.parquet(out)
+        assert sorted(r["z"] for r in got.select("z").distinct().collect()) == [2, 3, 4]
+        mani = spark.read.parquet(man)
+        assert mani.filter("output_rows <= 0").count() == 0
+        assert set(mani.select("stage").distinct().toPandas()["stage"]) == {"tiles"}
+
+
+def test_streaming_incremental(spark, pages):
+    from tile_gen_spark.streaming.incremental import incremental_tiles
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "pages")
+        out = os.path.join(td, "tiles")
+        ck = os.path.join(td, "ck")
+        pages.limit(100).write.parquet(src)
+        q = incremental_tiles(spark, src, out, ck, [3])
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() > 0
+        assert got.select("batch_id").distinct().count() >= 1
+
+
+def test_streaming_windows_batch_shape(spark):
+    from tile_gen_spark.streaming.incremental import windowed_event_counts, sessionized_events
+    ev = spark.createDataFrame(
+        [("2026-01-01 00:01:00", "click", 1.0, 1),
+         ("2026-01-01 00:05:00", "click", 2.0, 1),
+         ("2026-01-01 00:25:00", "view", 3.0, 2)],
+        "ts_s string, event_type string, value double, user_id bigint"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value", "user_id")
+    w = windowed_event_counts(ev, "10 minutes").collect()
+    assert {(r["event_type"], r["n_events"]) for r in w} == {("click", 2), ("view", 1)}
+    s = sessionized_events(ev, "30 minutes").collect()
+    assert {(r["user_id"], r["n_events"]) for r in s} == {(1, 2), (2, 1)}

@@ -1,0 +1,108 @@
+"""S5 + J6 (SURVEY.md §2.1, §2.3): checkpoint-resume with per-partition
+lineage + row-count metrics.
+
+``BASELINE.json:6,14``: "every partition emits lineage + row-count metrics to
+enable checkpoint-resume mid-zoom-level". Design:
+
+ - work unit = one zoom level (one Spark job per zoom → natural resume grain);
+ - the tile sink writes ``out/z=K`` atomically (overwrite per zoom directory);
+ - AFTER a zoom's sink commits, a manifest row batch is appended recording
+   run_id, stage, zoom, per-partition input/output row counts, timestamps and
+   a lineage string (the logical steps that produced the partition);
+ - resume = left-anti join of requested zooms against committed manifest
+   zooms (J6) — crash between sink and manifest ⇒ the zoom reruns and
+   overwrites, so the pipeline is idempotent (manifest written last).
+
+Per-partition metrics use ``spark_partition_id()`` + groupBy — observable,
+deterministic, and cheap (the rows are already materialized by the sink).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = ("run_id string, stage string, z int, partition_id int, "
+                   "input_rows bigint, output_rows bigint, started_ts double, "
+                   "finished_ts double, lineage string")
+
+
+def partition_metrics(df: DataFrame, z: int, stage: str, run_id: str,
+                      started: float, lineage: str) -> DataFrame:
+    """Per-partition row counts of df, as manifest rows (lineage + metrics)."""
+    now = time.time()
+    return (df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").count()
+            .select(F.lit(run_id).alias("run_id"),
+                    F.lit(stage).alias("stage"),
+                    F.lit(z).cast("int").alias("z"),
+                    F.col("_pid").cast("int").alias("partition_id"),
+                    F.col("count").cast("bigint").alias("input_rows"),
+                    F.col("count").cast("bigint").alias("output_rows"),
+                    F.lit(started).alias("started_ts"),
+                    F.lit(now).alias("finished_ts"),
+                    F.lit(lineage).alias("lineage")))
+
+
+class TileCheckpoint:
+    """Manifest-backed resume for the per-zoom tile job."""
+
+    def __init__(self, spark: SparkSession, manifest_path: str):
+        self.spark = spark
+        self.path = manifest_path
+
+    def completed_zooms(self, stage: str = "tiles") -> set[int]:
+        if not os.path.exists(self.path):
+            return set()
+        try:
+            df = self.spark.read.parquet(self.path)
+        except Exception:
+            return set()
+        rows = (df.filter(F.col("stage") == stage)
+                .select("z").distinct().collect())
+        return {r["z"] for r in rows}
+
+    def pending(self, zooms: list[int], stage: str = "tiles") -> list[int]:
+        """J6 resume diff (driver-side for the tiny zoom list; the same
+        anti-join runs distributed for per-tile grain, see pending_tiles)."""
+        done = self.completed_zooms(stage)
+        return [z for z in zooms if z not in done]
+
+    def pending_tiles(self, work: DataFrame, done_tiles: DataFrame) -> DataFrame:
+        """Distributed J6: tiles not yet committed (left-anti on z,x,y)."""
+        return work.join(done_tiles, ["z", "x", "y"], "left_anti")
+
+    def commit(self, metrics: DataFrame) -> None:
+        metrics.write.mode("append").parquet(self.path)
+
+
+def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
+                 manifest_path: str, zooms: list[int], salt: int = 0,
+                 run_id: str | None = None) -> dict[str, int]:
+    """EP1 driver loop: per-zoom tile build with checkpoint-resume.
+
+    Returns {"zooms_run": n, "zooms_skipped": m, "tiles": total}.
+    """
+    from .tiles import build_tile_features
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ckpt = TileCheckpoint(spark, manifest_path)
+    todo = ckpt.pending(zooms)
+    skipped = len(zooms) - len(todo)
+    total_tiles = 0
+    features = features.cache()
+    for z in todo:
+        started = time.time()
+        tiles = build_tile_features(features, [z], salt=salt)
+        out_path = os.path.join(out_dir, f"z={z}")
+        tiles.write.mode("overwrite").parquet(out_path)  # idempotent per zoom
+        written = spark.read.parquet(out_path)
+        total_tiles += written.count()
+        lineage = (f"pages>latest_per_url>extract>parse_geo>validity>"
+                   f"assign(z={z})>clip>quantize>collect_list")
+        ckpt.commit(partition_metrics(written, z, "tiles", run_id, started, lineage))
+    return {"zooms_run": len(todo), "zooms_skipped": skipped, "tiles": total_tiles}
