@@ -215,6 +215,116 @@ def q_events_tumbling(d: str) -> str:
         f"FROM events GROUP BY 1, 2")
 
 
+def q_events_sessionize(d: str) -> str:
+    """Gap-based sessionization (30 min) in pure window SQL."""
+    sec = ("CAST(unix_timestamp(ts) AS BIGINT)" if d == S.SPARK
+           else "CAST(floor(epoch(ts)) AS BIGINT)")
+    return f"""
+WITH e AS (SELECT event_id, user_id, {sec} AS sec FROM events),
+d AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM d)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_lag_lead(d: str) -> str:
+    """W3 analytics: per-user value deltas and next-event type."""
+    return """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_prev,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+def q_running_totals(d: str) -> str:
+    """W4 frame-spec: cumulative event count + value per user."""
+    return """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+def q_set_ops(d: str) -> str:
+    """U1–U3: union / intersect / except over customer activity sets."""
+    return """
+SELECT 'both' AS tag, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 150000
+  INTERSECT
+  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'only_big' AS tag, c FROM (
+  SELECT o_custkey AS c FROM orders WHERE o_totalprice > 150000
+  EXCEPT
+  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_percentiles(d: str) -> str:
+    """A6 exact percentiles per group (interpolated median/p99)."""
+    fn = "percentile" if d == S.SPARK else "quantile_cont"
+    return (f"SELECT l_returnflag, round({fn}(l_quantity, 0.5), 4) AS p50_qty, "
+            f"round({fn}(l_extendedprice, 0.99), 2) AS p99_price, "
+            f"CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            f"FROM lineitem GROUP BY l_returnflag")
+
+
+def q_topk_per_group(d: str) -> str:
+    """W2 dense_rank top-3 parts by retail price per brand."""
+    return """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part) t WHERE rk <= 3
+"""
+
+
+def q_region_supplier_rollup(d: str) -> str:
+    """J3 broadcast dims: supplier → nation → region, counts per region."""
+    return """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_bal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def q_quadkey_prefix_rollup(d: str) -> str:
+    """G4 hierarchy: z8 quadkeys rolled up to their z4 prefix (parent tile)."""
+    x, y = S.tile_x(S.pt_lon(), 8), S.tile_y(S.pt_lat(), 8)
+    qk = S.quadkey(x, y, 8, d)
+    return (f"SELECT substring(qk, 1, 4) AS qk4, CAST(count(*) AS BIGINT) AS n_points, "
+            f"CAST(count(DISTINCT qk) AS BIGINT) AS n_child_buckets "
+            f"FROM (SELECT {qk} AS qk FROM lineitem) t GROUP BY substring(qk, 1, 4)")
+
+
+def q_extract_text_oracle(d: str) -> str:
+    """Oracle twin of the P5 extractor invariant: documents.text wrapped into
+    the corpus html template must extract back byte-identically (compared via
+    sha). The Spark runner builds html and runs the REAL pandas_udf extractor;
+    this oracle just hashes the source text."""
+    return ("SELECT doc_id, md5(text) AS text_sha FROM documents "
+            "WHERE text IS NOT NULL")
+
+
 def q_tile_rollup(d: str) -> str:
     x, y = S.tile_x(S.pt_lon(), 4), S.tile_y(S.pt_lat(), 4)
     gs = "GROUPING SETS ((tx, ty), (tx), ())"
@@ -280,6 +390,105 @@ def _run_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")))
 
 
+def _run_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 byte-identity: wrap documents.text in the corpus html template,
+    run the real Arrow extractor, hash the result."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.extract import extract_text
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("text").isNotNull())
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>"), F.col("text"),
+        F.lit("</title></head><body></body></html>")), "UTF-8")
+    return (docs.withColumn("etext", extract_text(html))
+            .select("doc_id", F.md5("etext").alias("text_sha")))
+
+
+def _run_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 rows-only: hex-cell histogram of lineitem points at res 3."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.knn import _hex_cell_udf
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_points_cte(S.SPARK))
+    return (pts.withColumn("cell", _hex_cell_udf("lon", "lat", F.lit(3)))
+            .groupBy("cell").agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") >= 2))
+
+
+def _run_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 rows-only: S2-lite parent rollup (level 30 → 6)."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.knn import s2_cell_udf
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_points_cte(S.SPARK))
+    cells = pts.withColumn("c30", s2_cell_udf("lon", "lat"))
+    parent = (F.shiftright(F.col("c30"), 2 * (30 - 6))).alias("c6")
+    return (cells.select(parent).groupBy("c6").agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") >= 2))
+
+
+def _run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (random-hyperplane LSH) — rows-only; recall is checked
+    against the exact result in-query (recall_pct column)."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.knn import knn_embeddings, knn_embeddings_lsh
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = knn_embeddings(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = knn_embeddings_lsh(q, emb, k=5, bits=32, bands=16).select("query_id", "neighbor_id")
+    hit = exact.intersect(approx).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(int(hit), int(total), round(100.0 * hit / max(total, 1), 1))],
+        "hits bigint, total bigint, recall_pct double")
+
+
+def _run_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full build_tile_features over zone polygons — rows-only (clip+quantize
+    not SQL-expressible); per-tile counts at two zooms."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.tiles import build_tile_features
+
+    register_views(spark, sf_dir)
+    verts = spark.sql(_zone_vertices(S.SPARK, N_ZONES))
+    feats = (verts.groupBy("zone_id")
+             .agg(F.flatten(F.array_sort(F.collect_list(
+                 F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
+                 .alias("ring"))
+             .select(F.col("zone_id").alias("feature_id"),
+                     F.lit("polygon").alias("kind"),
+                     F.array("ring").alias("coords"),
+                     F.create_map(F.lit("zone"), F.col("zone_id").cast("string")).alias("props")))
+    tiles = build_tile_features(feats, [4, 7], salt=2)
+    return tiles.select("z", "x", "y", "n_features")
+
+
+def _run_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13/G14 rows-only: rasterize→vectorize→re-rasterize mass equality."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.tiles import clip_shapes_direct
+    from tile_gen_spark.operators.raster import raster_roundtrip_check
+
+    register_views(spark, sf_dir)
+    verts = spark.sql(_zone_vertices(S.SPARK, 50))
+    feats = (verts.groupBy("zone_id")
+             .agg(F.flatten(F.array_sort(F.collect_list(
+                 F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
+                 .alias("ring"))
+             .select(F.col("zone_id").alias("feature_id"),
+                     F.lit("polygon").alias("kind"),
+                     F.array("ring").alias("coords"),
+                     F.create_map(F.lit("z"), F.lit("1")).alias("props")))
+    clipped = clip_shapes_direct(feats, [5])
+    chk = raster_roundtrip_check(clipped, width=64, height=64)
+    return chk.filter(F.col("mass") == F.col("mass_rt")).select("z", "x", "y", "n_rings")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -314,12 +523,26 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "token_stats": q_token_stats,
     "events_tumbling": q_events_tumbling,
     "tile_rollup": q_tile_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_lag_lead": q_events_lag_lead,
+    "running_totals": q_running_totals,
+    "set_ops": q_set_ops,
+    "percentiles": q_percentiles,
+    "topk_per_group": q_topk_per_group,
+    "region_supplier_rollup": q_region_supplier_rollup,
+    "quadkey_prefix_rollup": q_quadkey_prefix_rollup,
 }
 
 _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "pip_join": (_run_pip_join, q_pip_join),
     "knn_geo": (_run_knn_geo, q_knn_geo),
     "knn_embeddings": (_run_knn_embeddings, q_knn_embeddings),
+    "extract_text_sha": (_run_extract_text, q_extract_text_oracle),
+    "hex_cells": (_run_hex_cells, None),
+    "s2_cells": (_run_s2_cells, None),
+    "ann_lsh_recall": (_run_ann_lsh, None),
+    "tile_build": (_run_tile_build, None),
+    "raster_roundtrip": (_run_raster_roundtrip, None),
 }
 
 

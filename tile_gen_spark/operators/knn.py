@@ -34,6 +34,12 @@ def _hex_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
     return pd.Series(C.hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), r))
 
 
+@pandas_udf(LongType())
+def s2_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """G6: S2-lite level-30 Hilbert cell id."""
+    return pd.Series(C.s2_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 30))
+
+
 def _kring_udf(k: int):
     @pandas_udf(ArrayType(LongType()))
     def fn(cell: pd.Series) -> pd.Series:
