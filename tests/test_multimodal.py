@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: schemas, batch shapes, determinism, stub gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tile_gen_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.synth_media(spark, 200, seed=42).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.count() == 200
+    again = M.synth_media(spark, 200, seed=42)
+    assert media.exceptAll(again).count() == 0
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    assert media.filter("width < 16 OR height < 16").count() == 0
+
+
+def test_decode_stub_gate():
+    with pytest.raises(NotImplementedError):
+        M._decode_real(b"xx", "image")
+    g1 = M._decode_fake(b"abcdefgh", 8, 4)
+    g2 = M._decode_fake(b"abcdefgh", 8, 4)
+    assert g1.shape == (4, 8) and np.array_equal(g1, g2)
+
+
+def test_decode_and_resize(spark, media):
+    dec = M.decode_stats(media).cache()
+    assert dec.count() == 200
+    assert dec.filter("mean_px < 0 OR mean_px > 255").count() == 0
+    rs = M.resize_stats(media, 8, 8)
+    assert rs.filter("width != 8 OR height != 8").count() == 0
+    assert rs.count() == 200
+
+
+def test_frame_sample(spark, media):
+    frames = M.frame_sample(media, every_ms=10000).cache()
+    vids = media.filter("kind = 'video' AND duration_ms > 0")
+    expected = vids.select(
+        F.sum(F.floor((F.col("duration_ms") - 1) / 10000) + 1)).first()[0]
+    assert frames.count() == int(expected)
+    # frame values deterministic + vary with t
+    per = frames.groupBy("media_id").agg(F.countDistinct("mean_px").alias("nv"),
+                                         F.count("*").alias("n"))
+    assert per.filter("n >= 3 AND nv < 2").count() == 0
+
+
+def test_embed_and_ann(spark, media):
+    from tile_gen_spark.operators.knn import knn_embeddings
+    emb = M.embed_media(media, dim=16).withColumnRenamed("media_id", "vec_id").cache()
+    assert emb.count() == 200
+    assert emb.select(F.size("embedding")).distinct().collect()[0][0] == 16
+    q = emb.filter("vec_id % 40 = 0")
+    nn = knn_embeddings(q, emb, k=3)
+    assert nn.count() == q.count() * 3

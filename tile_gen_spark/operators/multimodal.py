@@ -1,0 +1,200 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Driver mandate: "treat image/audio/video as opaque binary columns with typed
+metadata; implement decode / feature-extract / resize / frame-sample as
+Pandas UDFs over mapInPandas — the image/audio libs aren't in this container,
+so STUB the decode step ... and make the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) real and tested."
+
+Stub policy: ``_decode_real`` raises NotImplementedError unless PIL/av import
+succeeds (they don't here); every operator instead routes through
+``_decode_fake`` — a DETERMINISTIC fake that derives a pixel/sample grid from
+the payload bytes via splitmix64, so downstream operators (resize, embed,
+frame-sample, ANN) exercise real numerics on stable data.
+
+At 100 TB: payloads stay in parquet/iceberg binary columns, never hit the
+driver; every crossing is an Arrow batch; metadata filters (kind, width,
+duration) prune relationally BEFORE any payload is deserialized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.kernels import h64
+
+MEDIA_SCHEMA = ("media_id bigint, kind string, payload binary, "
+                "width int, height int, duration_ms int, codec string")
+
+DECODE_SCHEMA = ("media_id bigint, kind string, width int, height int, "
+                 "mean_px double, std_px double, n_bytes int")
+
+EMBED_SCHEMA = "media_id bigint, kind string, embedding array<float>"
+
+FRAME_SCHEMA = ("media_id bigint, frame_idx int, t_ms int, mean_px double")
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """Real decode — unavailable in this container (no PIL/av/cv2)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image/audio codecs not installed in this environment; "
+            "use the deterministic fake decode (STUB)") from e
+    raise NotImplementedError("real decode path not wired in sandbox")
+
+
+def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode: deterministic uint8 grid from payload bytes. Marked fake;
+    the Spark-side batch plumbing around it is the real deliverable."""
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    idx = np.arange(width * height, dtype=np.uint64)
+    return (h64(idx, int(seed % (1 << 31))) % np.uint64(256)).astype(
+        np.uint8).reshape(height, width)
+
+
+def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus (counter-based, partition-invariant)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = np.array(["image", "audio", "video"])
+        codecs = np.array(["png", "jpeg", "opus", "h264"])
+        for b in batches:
+            i = b["id"].to_numpy(np.uint64)
+            kind = kinds[(h64(i, seed, 1) % np.uint64(3)).astype(np.int64)]
+            w = (16 + h64(i, seed, 2) % np.uint64(48)).astype(np.int64)
+            h = (16 + h64(i, seed, 3) % np.uint64(48)).astype(np.int64)
+            dur = np.where(kind == "image", 0,
+                           (h64(i, seed, 4) % np.uint64(60000)).astype(np.int64))
+            payload = [h64(np.arange(32, dtype=np.uint64) + ii * np.uint64(97), seed, 5)
+                       .astype(np.uint64).tobytes() for ii in i]
+            yield pd.DataFrame({
+                "media_id": i.astype(np.int64),
+                "kind": pd.Series(kind, dtype="string"),
+                "payload": pd.Series(payload, dtype=object),
+                "width": pd.Series(w, dtype="int32"),
+                "height": pd.Series(h, dtype="int32"),
+                "duration_ms": pd.Series(dur, dtype="int32"),
+                "codec": pd.Series(codecs[(h64(i, seed, 6) % np.uint64(4)).astype(np.int64)],
+                                   dtype="string"),
+            })
+
+    return spark.range(n).mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Decode (stubbed) → per-item pixel stats; Arrow-batched, no driver I/O."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("media_id", "kind", "width", "height",
+                                   "mean_px", "std_px", "n_bytes")}
+            for mid, kind, payload, w, h in zip(
+                    b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
+                grid = _decode_fake(bytes(payload), int(w), int(h))
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["mean_px"].append(round(float(grid.mean()), 4))
+                out["std_px"].append(round(float(grid.std()), 4))
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "kind": pd.Series(out["kind"], dtype="string"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_px": pd.Series(out["mean_px"], dtype="float64"),
+                "std_px": pd.Series(out["std_px"], dtype="float64"),
+                "n_bytes": pd.Series(out["n_bytes"], dtype="int32"),
+            })
+
+    return media.mapInPandas(fn, DECODE_SCHEMA)
+
+
+def resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize (block mean over the stub grid) → stats of the resized image."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("media_id", "kind", "width", "height",
+                                    "mean_px", "std_px", "n_bytes")}
+            for mid, kind, payload, w, h in zip(
+                    b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
+                grid = _decode_fake(bytes(payload), int(w), int(h)).astype(np.float64)
+                ys = np.linspace(0, grid.shape[0], out_h + 1).astype(int)
+                xs = np.linspace(0, grid.shape[1], out_w + 1).astype(int)
+                small = np.array([[grid[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                                   for j in range(out_w)] for i in range(out_h)])
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["mean_px"].append(round(float(small.mean()), 4))
+                rows["std_px"].append(round(float(small.std()), 4))
+                rows["n_bytes"].append(out_w * out_h)
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "kind": pd.Series(rows["kind"], dtype="string"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+                "std_px": pd.Series(rows["std_px"], dtype="float64"),
+                "n_bytes": pd.Series(rows["n_bytes"], dtype="int32"),
+            })
+
+    return media.mapInPandas(fn, DECODE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 10000) -> DataFrame:
+    """Video frame sampling: one row per sampled frame timestamp."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "t_ms", "mean_px")}
+            for mid, payload, w, h, dur in zip(
+                    b["media_id"], b["payload"], b["width"], b["height"], b["duration_ms"]):
+                for fi, t in enumerate(range(0, int(dur), every_ms)):
+                    frame = _decode_fake(bytes(payload) + t.to_bytes(4, "little"),
+                                         int(w), int(h))
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["t_ms"].append(t)
+                    rows["mean_px"].append(round(float(frame.mean()), 4))
+            yield pd.DataFrame({
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "t_ms": pd.Series(rows["t_ms"], dtype="int32"),
+                "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+            })
+
+    return (media.filter("kind = 'video' AND duration_ms > 0")
+            .mapInPandas(fn, FRAME_SCHEMA))
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction (stub): deterministic float vector per payload —
+    feeds the same ANN/similarity operators as text embeddings."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, kinds, vecs = [], [], []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                seed = int.from_bytes(bytes(payload)[:4], "little")
+                v = (h64(np.arange(dim, dtype=np.uint64), seed).astype(np.float64)
+                     / float(1 << 64)) * 2.0 - 1.0
+                ids.append(mid)
+                kinds.append(kind)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="string"),
+                "embedding": pd.Series(vecs, dtype=object),
+            })
+
+    return media.mapInPandas(fn, EMBED_SCHEMA)
