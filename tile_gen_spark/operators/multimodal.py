@@ -160,7 +160,7 @@ def frame_sample(media: DataFrame, every_ms: int = 10000) -> DataFrame:
             for mid, payload, w, h, dur in zip(
                     b["media_id"], b["payload"], b["width"], b["height"], b["duration_ms"]):
                 for fi, t in enumerate(range(0, int(dur), every_ms)):
-                    frame = _decode_fake(bytes(payload) + t.to_bytes(4, "little"),
+                    frame = _decode_fake(t.to_bytes(4, "little") + bytes(payload),
                                          int(w), int(h))
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(fi)
