@@ -67,6 +67,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    only = set(os.environ.get("BENCH_ONLY", "").split(",")) - {""}
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     # warm-up (JVM/codegen/Arrow) — small, untimed
     spark.sql("SELECT count(*) FROM lineitem").collect()
@@ -87,36 +91,39 @@ def main() -> None:
     extras["n_tile_feature_rows"] = int(n_feat_rows)
 
     # --- pip_join: joined rows/sec ---
-    t0 = time.time()
-    pts = spark.sql(E._points_cte(S.SPARK))
-    pts = pts.withColumnRenamed("point_id", "point_id")
-    verts = spark.sql(E._zone_vertices(S.SPARK, E.N_ZONES))
-    zones = (verts.groupBy("zone_id")
-             .agg(F.flatten(F.array_sort(F.collect_list(
-                 F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
-                 .alias("ring")))
-    n_pairs = pip_join(pts, zones, res=6).count()
-    dt = time.time() - t0
-    timings["pip_join"] = round(dt, 2)
-    extras["n_pip_pairs"] = int(n_pairs)
-    extras["joined_rows_per_sec"] = round(n_pairs / dt, 1)
+    if want("pip_join"):
+        t0 = time.time()
+        pts = spark.sql(E._points_cte(S.SPARK))
+        verts = spark.sql(E._zone_vertices(S.SPARK, E.N_ZONES))
+        zones = (verts.groupBy("zone_id")
+                 .agg(F.flatten(F.array_sort(F.collect_list(
+                     F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
+                     .alias("ring")))
+        n_pairs = pip_join(pts, zones, res=6).count()
+        dt = time.time() - t0
+        timings["pip_join"] = round(dt, 2)
+        extras["n_pip_pairs"] = int(n_pairs)
+        extras["joined_rows_per_sec"] = round(n_pairs / dt, 1)
 
     # --- tile_assign: relational multizoom ---
-    t0 = time.time()
-    spark.sql(E.q_tile_assign_multizoom(S.SPARK)).collect()
-    timings["tile_assign"] = round(time.time() - t0, 2)
+    if want("tile_assign"):
+        t0 = time.time()
+        spark.sql(E.q_tile_assign_multizoom(S.SPARK)).collect()
+        timings["tile_assign"] = round(time.time() - t0, 2)
 
     # --- knn_embeddings ---
-    t0 = time.time()
-    emb = spark.table("embeddings")
-    knn_embeddings(emb, emb, k=5).count()
-    timings["knn_embeddings"] = round(time.time() - t0, 2)
+    if want("knn_embeddings"):
+        t0 = time.time()
+        emb = spark.table("embeddings")
+        knn_embeddings(emb, emb, k=5).count()
+        timings["knn_embeddings"] = round(time.time() - t0, 2)
 
     # --- dedup_minhash ---
-    t0 = time.time()
-    docs = spark.table("documents")
-    minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
-    timings["dedup_minhash"] = round(time.time() - t0, 2)
+    if want("dedup_minhash"):
+        t0 = time.time()
+        docs = spark.table("documents")
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+        timings["dedup_minhash"] = round(time.time() - t0, 2)
 
     total = round(sum(timings.values()), 2)
     print(json.dumps({
