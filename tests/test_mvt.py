@@ -1,0 +1,47 @@
+"""MVT 2.1 encoder round-trip tests (pure Python, no Spark)."""
+
+from tile_gen_spark.operators import mvt
+
+
+def test_varint_zigzag():
+    assert mvt._varint(0) == b"\x00"
+    assert mvt._varint(300) == b"\xac\x02"  # protobuf docs example
+    assert mvt._zigzag(0) == 0
+    assert mvt._zigzag(-1) == 1
+    assert mvt._zigzag(1) == 2
+    assert mvt._zigzag(-2) == 3
+
+
+def test_geometry_commands_point_example():
+    # MVT spec example: point (25, 17) → [9, 50, 34]
+    assert mvt._geometry_commands("point", [[25, 17]]) == [9, 50, 34]
+
+
+def test_encode_decode_roundtrip():
+    feats = [
+        {"feature_id": 7, "kind": "point", "geom": [[25, 17]], "props": {"a": "1"}},
+        {"feature_id": 9, "kind": "polygon",
+         "geom": [[0, 0, 100, 0, 100, 100, 0, 100]], "props": {"a": "1", "b": "x"}},
+        {"feature_id": 11, "kind": "line",
+         "geom": [[2, 2, 2, 10], [40, 40, 50, 50]], "props": {}},
+    ]
+    data = mvt.encode_tile(feats, layer_name="test_layer")
+    out = mvt.decode_tile(data)
+    assert len(out["layers"]) == 1
+    layer = out["layers"][0]
+    assert layer["name"] == "test_layer"
+    assert layer["version"] == 2
+    assert layer["extent"] == 4096
+    assert [f["id"] for f in layer["features"]] == [7, 9, 11]
+    assert [f["type"] for f in layer["features"]] == [1, 3, 2]
+    assert layer["keys"] == ["a", "b"]
+    # point geometry decodes back to the spec command stream
+    assert layer["features"][0]["geometry"] == [9, 50, 34]
+    # polygon ends with ClosePath(7)
+    assert layer["features"][1]["geometry"][-1] == (1 << 3) | 7
+    # two-piece line has two MoveTo commands
+    geo = layer["features"][2]["geometry"]
+    assert sum(1 for g in geo if g == 9) == 2  # MoveTo count=1 → (1<<3)|1 = 9
+    # tags reference the shared key/value tables
+    assert layer["features"][0]["tags"] == [0, 0]
+    assert layer["features"][1]["tags"] == [0, 0, 1, 1]

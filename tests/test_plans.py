@@ -1,0 +1,82 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations the 100 TB
+design depends on must be visible in .explain() output — filter/column
+pushdown into the parquet scan, broadcast of the small join side, salted
+two-phase aggregation shape. Plans regress silently; these tests pin them.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString("formatted")
+
+
+def test_parquet_filter_and_column_pushdown(spark, tmp_path):
+    from tile_gen_spark.sources.synth import gen_pages
+    p = str(tmp_path / "pages")
+    gen_pages(spark, 300, seed=1).write.parquet(p)
+    df = (spark.read.parquet(p)
+          .filter(F.col("lang") == "en")
+          .select("url", "lang"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\).*\]", plan)
+    # column pruning: html:binary must NOT be read for a url/lang projection
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "html" not in m.group(1)
+
+
+def test_pip_join_broadcasts_zone_index(spark):
+    from tile_gen_spark.sources.synth import gen_zones
+    from tile_gen_spark.operators.spatial_join import pip_join
+    pts = spark.range(100).select(
+        F.col("id").alias("point_id"),
+        (F.pmod(F.hash("id"), F.lit(340000000)) / 1000000.0 - 170.0).alias("lon"),
+        (F.pmod(F.hash("id"), F.lit(140000000)) / 1000000.0 - 70.0).alias("lat"))
+    out = pip_join(pts, gen_zones(spark, 20, seed=3), res=4)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the big (points) side must not sort-merge: no SortMergeJoin wanted
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_path_has_no_python_udf(spark):
+    """The relational point path must stay JVM-side: no ArrowEvalPython /
+    BatchEvalPython nodes anywhere in the plan (BASELINE.json:15)."""
+    from tile_gen_spark.operators.tiles import clip_points_relational
+    pts = spark.range(100).select(
+        F.col("id").alias("feature_id"), F.lit("point").alias("kind"),
+        F.array(F.array((F.pmod(F.hash("id"), F.lit(340000000)) / 1000000.0 - 170.0),
+                        (F.pmod(F.hash("id"), F.lit(140000000)) / 1000000.0 - 70.0))).alias("coords"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("props"))
+    out = clip_points_relational(pts, [0, 6, 12])
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_salted_agg_two_phase_shape(spark):
+    from tile_gen_spark.operators.tiles import tile_feature_lists
+    clipped = spark.range(100).select(
+        F.lit(3).cast("int").alias("z"), (F.col("id") % 4).alias("x"),
+        (F.col("id") % 3).alias("y"), F.col("id").alias("feature_id"),
+        F.lit("point").alias("kind"),
+        F.array(F.array(F.lit(1), F.lit(2))).cast("array<array<int>>").alias("geom"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("props"))
+    plan = _plan(tile_feature_lists(clipped, salt=4))
+    # two aggregation layers (salted partial + final) must both be present
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+    assert "pmod" in plan
+
+
+def test_broadcast_dim_join_autodetected(spark, tmp_path):
+    """Catalyst must auto-broadcast a small dim parquet table (J3)."""
+    import os
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    big = spark.range(100000).select(F.col("id").alias("k2"), (F.col("id") % 10).alias("k"))
+    sp = str(tmp_path / "dim")
+    small.write.parquet(sp)
+    j = big.join(spark.read.parquet(sp), "k")
+    assert "BroadcastHashJoin" in _plan(j)
