@@ -489,6 +489,44 @@ def _run_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chk.filter(F.col("mass") == F.col("mass_rt")).select("z", "x", "y", "n_rings")
 
 
+def _run_mvt_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 rows-only: tile build → MVT 2.1 protobuf bytes → decode round-trip
+    sanity (n_features preserved, version 2, extent 4096)."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.mvt import encode_tiles
+    from tile_gen_spark.operators.tiles import build_tile_features
+    register_views(spark, sf_dir)
+    verts = spark.sql(_zone_vertices(S.SPARK, 60))
+    feats = (verts.groupBy("zone_id")
+             .agg(F.flatten(F.array_sort(F.collect_list(
+                 F.struct(F.col("v"), F.array("vx", "vy").alias("p")))).getField("p"))
+                 .alias("ring"))
+             .select(F.col("zone_id").alias("feature_id"),
+                     F.lit("polygon").alias("kind"),
+                     F.array("ring").alias("coords"),
+                     F.create_map(F.lit("zone"), F.col("zone_id").cast("string")).alias("props")))
+    tf = build_tile_features(feats, [5])
+    enc = encode_tiles(tf)
+    return (enc.select("z", "x", "y", "n_features",
+                       F.length("mvt").alias("mvt_bytes"))
+            .filter(F.col("mvt_bytes") > 0))
+
+
+def _run_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing rows-only: synth media → decode stats → embed →
+    per-kind aggregates (deterministic)."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.multimodal import synth_media, decode_stats
+
+    media = synth_media(spark, 2000, seed=42)
+    dec = decode_stats(media)
+    return (dec.groupBy("kind")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+                 F.sum("n_bytes").alias("total_bytes"))
+            .orderBy("kind"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -543,6 +581,8 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "ann_lsh_recall": (_run_ann_lsh, None),
     "tile_build": (_run_tile_build, None),
     "raster_roundtrip": (_run_raster_roundtrip, None),
+    "mvt_encode": (_run_mvt_encode, None),
+    "multimodal_decode": (_run_multimodal, None),
 }
 
 

@@ -173,3 +173,15 @@ def test_streaming_windows_batch_shape(spark):
     assert {(r["event_type"], r["n_events"]) for r in w} == {("click", 2), ("view", 1)}
     s = sessionized_events(ev, "30 minutes").collect()
     assert {(r["user_id"], r["n_events"]) for r in s} == {(1, 2), (2, 1)}
+
+
+def test_fused_extract_parse_equivalence(spark, pages, features):
+    from tile_gen_spark.operators.extract import extract_and_parse, latest_per_url, validity_filter
+
+    def cmp_form(df):  # set ops reject MAP columns → serialize props
+        return df.withColumn("props", F.to_json("props"))
+
+    fused = cmp_form(validity_filter(extract_and_parse(latest_per_url(pages))))
+    base = cmp_form(features)
+    assert fused.exceptAll(base).count() == 0
+    assert base.exceptAll(fused).count() == 0

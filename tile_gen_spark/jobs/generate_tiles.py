@@ -39,8 +39,8 @@ def main(argv: list[str] | None = None) -> None:
 
     from ..plans.session import get_spark
     from ..sources.synth import gen_pages
-    from ..operators.extract import (extract_text, latest_per_url,
-                                     parse_geo_features, validity_filter)
+    from ..operators.extract import (extract_and_parse, latest_per_url,
+                                     validity_filter)
     from ..operators.checkpoint import run_tile_job
     from ..operators.skew import suggest_salt
     from ..operators.tiles import assign_features
@@ -55,8 +55,7 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("--input or --synthetic required")
 
     latest = latest_per_url(pages)
-    extracted = latest.withColumn("etext", extract_text("html"))
-    feats = validity_filter(parse_geo_features(extracted, "etext")).cache()
+    feats = validity_filter(extract_and_parse(latest)).cache()
 
     zooms = parse_zooms(args.zooms)
     if args.salt == "auto":

@@ -63,31 +63,13 @@ def parse_geo_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
                 if text is None:
                     continue
                 for idx, m in enumerate(_GEO_RE.finditer(text)):
-                    kind = m.group(1)
-                    pts = []
-                    ok = True
-                    for pair in m.group(2).split(";"):
-                        parts = pair.split()
-                        if len(parts) != 2:
-                            ok = False
-                            break
-                        try:
-                            lo, la = float(parts[0]), float(parts[1])
-                        except ValueError:
-                            ok = False
-                            break
-                        pts.extend((lo, la))
-                    if not ok or not pts:
+                    parsed = _parse_span(m)
+                    if parsed is None:
                         continue
-                    if kind == "point" and len(pts) != 2:
-                        continue
-                    if kind == "line" and len(pts) < 4:
-                        continue
-                    if kind == "poly" and len(pts) < 6:
-                        continue
+                    kind, pts = parsed
                     urls.append(url)
                     fids.append(_fid(url, idx))
-                    kinds.append("polygon" if kind == "poly" else kind)
+                    kinds.append(kind)
                     coords.append([pts])
                     props.append({"src": "geo-span", "i": str(idx)})
             yield pd.DataFrame({
@@ -99,6 +81,69 @@ def parse_geo_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
             })
 
     return pages.select("url", text_col).mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def extract_and_parse(pages: DataFrame) -> DataFrame:
+    """Fused P5+G15: html → text → feature rows in ONE Arrow crossing.
+
+    The hot-path version of extract_text + parse_geo_features: halves the
+    Python stage count (worker spin-ups, Arrow hops) and never materializes
+    the intermediate text column through the JVM. The standalone extract_text
+    UDF remains the byte-identity artifact (same _TITLE_RE/_PARA_RE logic)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            s = b["html"].map(lambda x: x.decode("utf-8") if x is not None else None)
+            s = pd.Series(s, dtype="string")
+            title = s.str.extract(_TITLE_RE, expand=False)
+            paras = s.str.findall(_PARA_RE).map(
+                lambda ls: "\n".join(ls) if isinstance(ls, list) else "")
+            text = title.fillna("") + np.where(paras.str.len() > 0, "\n" + paras, "")
+            urls, fids, kinds, coords, props = [], [], [], [], []
+            for url, t in zip(b["url"], text):
+                if t is None or t != t:
+                    continue
+                for idx, m in enumerate(_GEO_RE.finditer(t)):
+                    parsed = _parse_span(m)
+                    if parsed is None:
+                        continue
+                    kind, pts = parsed
+                    urls.append(url)
+                    fids.append(_fid(url, idx))
+                    kinds.append(kind)
+                    coords.append([pts])
+                    props.append({"src": "geo-span", "i": str(idx)})
+            yield pd.DataFrame({
+                "url": pd.Series(urls, dtype="string"),
+                "feature_id": pd.Series(fids, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="string"),
+                "coords": pd.Series(coords, dtype=object),
+                "props": pd.Series(props, dtype=object),
+            })
+
+    return pages.select("url", "html").mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def _parse_span(m) -> tuple[str, list[float]] | None:
+    kind = m.group(1)
+    pts: list[float] = []
+    for pair in m.group(2).split(";"):
+        parts = pair.split()
+        if len(parts) != 2:
+            return None
+        try:
+            pts.extend((float(parts[0]), float(parts[1])))
+        except ValueError:
+            return None
+    if not pts:
+        return None
+    if kind == "point" and len(pts) != 2:
+        return None
+    if kind == "line" and len(pts) < 4:
+        return None
+    if kind == "poly" and len(pts) < 6:
+        return None
+    return ("polygon" if kind == "poly" else kind), pts
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:

@@ -50,18 +50,15 @@ def assign_points(points: DataFrame, zooms: list[int]) -> DataFrame:
     matches kernels.point_to_tile bit-for-bit (same formula, float64).
     """
     pts = with_lonlat(points).select("feature_id", "lon", "lat")
-    parts = []
-    for z in zooms:
-        parts.append(pts.select(
-            "feature_id",
-            F.lit(z).cast("int").alias("z"),
-            F.expr(S.tile_x("lon", z)).alias("x"),
-            F.expr(S.tile_y("lat", z)).alias("y"),
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # single explode over a per-zoom struct array — NOT a 13-way union: union
+    # branches each re-execute the shared upstream subtree (Catalyst performs
+    # no cross-branch CSE), which re-ran the Arrow parse stage once per zoom
+    entries = [F.struct(
+        F.lit(z).cast("int").alias("z"),
+        F.expr(S.tile_x("lon", z)).alias("x"),
+        F.expr(S.tile_y("lat", z)).alias("y")) for z in zooms]
+    return (pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
+            .select("feature_id", "t.z", "t.x", "t.y"))
 
 
 def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
@@ -208,21 +205,21 @@ def clip_points_relational(points: DataFrame, zooms: list[int],
     emits its tile id (G2) and tile-local quantized geometry (G11) from the
     same tile-fraction expression."""
     pts = with_lonlat(points).select("feature_id", "kind", "lon", "lat", "props")
-    parts = []
+    # one explode, one scan (see assign_points: unions re-execute the subtree)
+    entries = []
     for z in zooms:
         qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z), extent)
         qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z), extent)
-        parts.append(pts.select(
+        entries.append(F.struct(
             F.lit(z).cast("int").alias("z"),
             F.expr(S.tile_x("lon", z)).alias("x"),
             F.expr(S.tile_y("lat", z)).alias("y"),
-            "feature_id", "kind",
-            F.array(F.array(F.expr(qx), F.expr(qy))).alias("geom"),
-            "props"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            F.expr(qx).alias("qx"),
+            F.expr(qy).alias("qy")))
+    return (pts.select("feature_id", "kind", "props",
+                       F.explode(F.array(*entries)).alias("t"))
+            .select("t.z", "t.x", "t.y", "feature_id", "kind",
+                    F.array(F.array("t.qx", "t.qy")).alias("geom"), "props"))
 
 
 def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
@@ -235,49 +232,71 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows: dict[str, list] = {k: [] for k in ("z", "x", "y", "feature_id", "kind", "geom", "props")}
-            for fid, kind, coords, props in zip(
-                    b["feature_id"], b["kind"], b["coords"], b["props"]):
+            for fid, kind, coords, props, z in zip(
+                    b["feature_id"], b["kind"], b["coords"], b["props"], b["_z"]):
                 ring = np.asarray(coords[0], dtype=np.float64)
-                for z in zooms:
-                    if kind == "polygon":
-                        tiles = K.polygon_covering_tiles(ring, z)
-                    else:
-                        tiles = _line_covering_tiles(ring, z)
-                    if tiles.shape[0] == 0:
+                z = int(z)
+                r2 = ring.reshape(-1, 2)
+                vtx, vty = K.point_to_tile(r2[:, 0], r2[:, 1], z)
+                if vtx.min() == vtx.max() and vty.min() == vty.max():
+                    # fast path (the majority at z ≤ ~9 for city-scale
+                    # features): every vertex in one tile ⇒ covering = that
+                    # tile and the clip is the identity — quantize directly
+                    gx, gy = K.quantize_to_tile(r2[:, 0], r2[:, 1], z,
+                                                int(vtx[0]), int(vty[0]), extent)
+                    gx, gy = K.dedupe_consecutive(gx, gy)
+                    if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
                         continue
-                    n_t = float(1 << z)
-                    west = tiles[:, 0] / n_t * 360.0 - 180.0
-                    east = (tiles[:, 0] + 1.0) / n_t * 360.0 - 180.0
-                    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * tiles[:, 1] / n_t))))
-                    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (tiles[:, 1] + 1.0) / n_t))))
-                    ring_t = [tuple(v) for v in ring.reshape(-1, 2)]
-                    for i in range(tiles.shape[0]):
-                        x, y = int(tiles[i, 0]), int(tiles[i, 1])
-                        if kind == "line":
-                            pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
+                    if kind == "polygon":
+                        q = K.normalize_winding(np.column_stack([gx, -gy]), ccw=True)
+                        gx, gy = q[:, 0].astype(np.int64), (-q[:, 1]).astype(np.int64)
+                    rows["z"].append(z)
+                    rows["x"].append(int(vtx[0]))
+                    rows["y"].append(int(vty[0]))
+                    rows["feature_id"].append(fid)
+                    rows["kind"].append(kind)
+                    rows["geom"].append([np.column_stack([gx, gy]).ravel().astype(np.int32).tolist()])
+                    rows["props"].append(props)
+                    continue
+                if kind == "polygon":
+                    tiles = K.polygon_covering_tiles(ring, z)
+                else:
+                    tiles = _line_covering_tiles(ring, z)
+                if tiles.shape[0] == 0:
+                    continue
+                n_t = float(1 << z)
+                west = tiles[:, 0] / n_t * 360.0 - 180.0
+                east = (tiles[:, 0] + 1.0) / n_t * 360.0 - 180.0
+                north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * tiles[:, 1] / n_t))))
+                south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (tiles[:, 1] + 1.0) / n_t))))
+                ring_t = [tuple(v) for v in ring.reshape(-1, 2)]
+                for i in range(tiles.shape[0]):
+                    x, y = int(tiles[i, 0]), int(tiles[i, 1])
+                    if kind == "line":
+                        pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
+                    else:
+                        c = K.clip_ring_bbox_fast(ring_t, west[i], south[i], east[i], north[i])
+                        if len(c) >= 3:
+                            arr = np.asarray(c, dtype=np.float64)
+                            pieces = [K.normalize_winding(arr, ccw=True)]
                         else:
-                            c = K.clip_ring_bbox_fast(ring_t, west[i], south[i], east[i], north[i])
-                            if len(c) >= 3:
-                                arr = np.asarray(c, dtype=np.float64)
-                                pieces = [K.normalize_winding(arr, ccw=True)]
-                            else:
-                                pieces = []
-                        geom = []
-                        for p in pieces:
-                            gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
-                            gx, gy = K.dedupe_consecutive(gx, gy)
-                            if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
-                                continue
-                            geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
-                        if not geom:
+                            pieces = []
+                    geom = []
+                    for p in pieces:
+                        gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+                        gx, gy = K.dedupe_consecutive(gx, gy)
+                        if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
                             continue
-                        rows["z"].append(z)
-                        rows["x"].append(x)
-                        rows["y"].append(y)
-                        rows["feature_id"].append(fid)
-                        rows["kind"].append(kind)
-                        rows["geom"].append(geom)
-                        rows["props"].append(props)
+                        geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
+                    if not geom:
+                        continue
+                    rows["z"].append(z)
+                    rows["x"].append(x)
+                    rows["y"].append(y)
+                    rows["feature_id"].append(fid)
+                    rows["kind"].append(kind)
+                    rows["geom"].append(geom)
+                    rows["props"].append(props)
             yield pd.DataFrame({
                 "z": pd.Series(rows["z"], dtype="int32"),
                 "x": pd.Series(rows["x"], dtype="int64"),
@@ -288,12 +307,16 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
                 "props": pd.Series(rows["props"], dtype=object),
             })
 
-    sel = shapes.select("feature_id", "kind", "coords", "props")
-    # clip CPU is proportional to covering-tile count, which varies 1000× per
-    # feature — hash-spread rows across the full parallelism so no AQE-
-    # coalesced partition serializes the big polygons (skew, BASELINE.json:6)
-    n_parts = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return sel.repartition(n_parts, "feature_id").mapInPandas(fn, CLIP_SCHEMA)
+    # Explode per (feature, zoom) BEFORE the Python stage and hash-spread on
+    # (feature_id, z): clip CPU varies ~1000× per feature and grows with z, so
+    # fine-grained rows pack the task waves evenly (the 64-partition version
+    # ran local[32] in 2 straggler-dominated waves — measured 0.5 efficiency);
+    # 8× overpartitioning keeps the max wave skew ~1/8 of a wave.
+    n_parts = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions")) * 4
+    sel = (shapes.select("feature_id", "kind", "coords", "props")
+           .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
+           .repartition(n_parts, "feature_id", "_z"))
+    return sel.mapInPandas(fn, CLIP_SCHEMA)
 
 
 def build_tile_features(features: DataFrame, zooms: list[int],

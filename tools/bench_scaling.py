@@ -30,8 +30,14 @@ def run_once(cpus: int) -> dict:
                SPARK_GRAFT_SF_DIR=SF_DIR,
                BENCH_PAGES=PAGES,
                BENCH_ONLY="pip_join")
-    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                         capture_output=True, text=True, env=env, timeout=3600)
+    # taskset pins the WHOLE process tree (JVM + forked Python workers) to
+    # `cpus` physical cores — without it, local[8]'s Python workers spill onto
+    # the other 24 cores and inflate the N baseline (unpinned local[8]
+    # measured ~11% faster than a true 8-core run), which is not how an
+    # 8-core executor behaves on a real cluster
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+           os.path.join(ROOT, "bench.py")]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
