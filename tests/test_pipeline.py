@@ -185,3 +185,25 @@ def test_fused_extract_parse_equivalence(spark, pages, features):
     base = cmp_form(features)
     assert fused.exceptAll(base).count() == 0
     assert base.exceptAll(fused).count() == 0
+
+
+def test_mvt_encode_tiles_spark(spark, features):
+    from tile_gen_spark.operators.tiles import build_tile_features
+    from tile_gen_spark.operators.mvt import encode_tiles, decode_tile
+    tiles = build_tile_features(features, [4])
+    enc = encode_tiles(tiles).cache()
+    assert enc.filter("mvt IS NULL OR length(mvt) = 0").count() == 0
+    row = enc.orderBy(F.desc("n_features")).first()
+    decoded = decode_tile(bytes(row["mvt"]))
+    layer = decoded["layers"][0]
+    assert layer["version"] == 2 and layer["extent"] == 4096
+    assert len(layer["features"]) == row["n_features"]
+
+
+def test_zoom_density_grouped_agg(spark, features):
+    from tile_gen_spark.operators.tiles import clip_shapes_direct
+    from tile_gen_spark.operators.raster import rasterize_tiles, zoom_density_stats
+    clipped = clip_shapes_direct(features.filter("kind = 'polygon'"), [3, 5])
+    stats = zoom_density_stats(rasterize_tiles(clipped, 32, 32)).collect()
+    assert {r["z"] for r in stats} == {3, 5}
+    assert all(r["mean_mass"] >= 0 for r in stats)

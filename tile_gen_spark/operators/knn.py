@@ -56,12 +56,19 @@ def _haversine_col(lon1, lat1, lon2, lat2):
 
 
 def knn_geo(queries: DataFrame, candidates: DataFrame, k: int = 5,
-            res: int = 5, kring: int = 1) -> DataFrame:
+            res: int = 5, kring: int = 1,
+            broadcast_index: bool = True) -> DataFrame:
     """queries(query_id, lon, lat) × candidates(cand_id, lon, lat) → top-k.
 
     Returns (query_id, neighbor_id, dist_m, rank). Deterministic tie-break:
     (distance, neighbor_id). Exact — falls back to brute force for queries the
     cell index under-serves, so output equals the brute-force oracle.
+
+    ``broadcast_index=True`` is the spec's "indexed broadcast of cell
+    neighbors" (``BASELINE.json:6,14``) — right when the candidate/landmark
+    index fits an executor (typical: POI sets ≪ corpus). For candidate sets
+    too big to broadcast, pass False: the join becomes a shuffled hash join
+    on the cell key, co-partitioning both sides (AQE splits hot cells).
     """
     cand = candidates.withColumn(
         "cell", _hex_cell_udf("lon", "lat", F.lit(res))).select(
@@ -72,7 +79,8 @@ def knn_geo(queries: DataFrame, candidates: DataFrame, k: int = 5,
 
     # indexed broadcast of cell neighbors (BASELINE.json:6): the cell→cand
     # index is the small side → broadcast hash join, no shuffle of candidates
-    pairs = qx.join(F.broadcast(cand), "cell").select(
+    idx = F.broadcast(cand) if broadcast_index else cand
+    pairs = qx.join(idx, "cell").select(
         "query_id", "lon", "lat", "cand_id", "clon", "clat")
     ranked = _rank_topk(pairs, k)
 

@@ -56,6 +56,24 @@ def rasterize_tiles(clipped: DataFrame, width: int = 256, height: int = 256,
     return (clipped.groupBy("z", "x", "y").applyInPandas(fn, RASTER_SCHEMA))
 
 
+def zoom_density_stats(rasters: DataFrame) -> DataFrame:
+    """Grouped-agg pandas UDF (SURVEY.md §2.11): per-zoom mean coverage mass.
+
+    A true GROUPED_AGG vectorized aggregate (Series → scalar), demonstrating
+    the custom-numeric-agg path next to the grouped-map one."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+
+    @pandas_udf("double")
+    def mean_mass(mass: pd.Series) -> float:
+        return float(mass.mean())
+
+    return (rasters.groupBy("z")
+            .agg(mean_mass("mass").alias("mean_mass"),
+                 F.count("*").alias("n_tiles")))
+
+
 def vectorize_tiles(rasters: DataFrame, width: int = 256, height: int = 256,
                     extent: int = K.MVT_EXTENT) -> DataFrame:
     """Grids → boundary rings in quantized tile coords (mapInPandas)."""
