@@ -97,6 +97,7 @@ def main() -> None:
     tiles_per_sec = n_tiles / dt
     extras["n_tiles"] = int(n_tiles)
     extras["n_tile_feature_rows"] = int(n_feat_rows)
+    feats.unpersist()  # free executor memory before the next timed section
 
     # --- pip_join: joined rows/sec ---
     if want("pip_join"):

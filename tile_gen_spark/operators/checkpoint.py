@@ -89,6 +89,8 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
     """
     from .tiles import build_tile_features
 
+    from pyspark.sql import Observation
+
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = TileCheckpoint(spark, manifest_path)
     todo = ckpt.pending(zooms)
@@ -97,12 +99,16 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
     features = features.cache()
     for z in todo:
         started = time.time()
-        tiles = build_tile_features(features, [z], salt=salt)
+        obs = Observation(f"tiles-z{z}-{run_id}")
+        tiles = build_tile_features(features, [z], salt=salt).observe(
+            obs, F.count(F.lit(1)).alias("tiles"), F.sum("n_features").alias("feature_rows"))
         out_path = os.path.join(out_dir, f"z={z}")
         tiles.write.mode("overwrite").parquet(out_path)  # idempotent per zoom
+        got = obs.get  # free — piggybacks on the sink action (S5/A3 metrics)
+        total_tiles += int(got["tiles"])
         written = spark.read.parquet(out_path)
-        total_tiles += written.count()
         lineage = (f"pages>latest_per_url>extract>parse_geo>validity>"
-                   f"assign(z={z})>clip>quantize>collect_list")
+                   f"assign(z={z})>clip>quantize>collect_list"
+                   f"|observed_feature_rows={got['feature_rows']}")
         ckpt.commit(partition_metrics(written, z, "tiles", run_id, started, lineage))
     return {"zooms_run": len(todo), "zooms_skipped": skipped, "tiles": total_tiles}

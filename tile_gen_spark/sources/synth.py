@@ -169,4 +169,5 @@ def gen_zones(spark: SparkSession, m: int, seed: int = 42) -> DataFrame:
         for b in batches:
             yield _zone_batch(b["id"].to_numpy(), seed)
 
-    return spark.range(m).mapInPandas(fn, ZONES_SCHEMA)
+    # small dim table: few fat partitions beat 64 tiny python batches
+    return spark.range(m, numPartitions=max(2, m // 500)).mapInPandas(fn, ZONES_SCHEMA)

@@ -20,7 +20,7 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
-PAGES = os.environ.get("BENCH_PAGES", "50000")
+PAGES = os.environ.get("BENCH_PAGES", "400000")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
