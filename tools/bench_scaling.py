@@ -43,11 +43,12 @@ def run_once(cpus: int) -> dict:
 
 
 def main() -> None:
-    results: dict[int, list[dict]] = {}
+    results: dict[int, list[dict]] = {8: [], 32: []}
     t_start = time.time()
     run_once(32)  # discard: warms the on-disk corpus + parquet cache
-    for cpus in (8, 32):
-        results[cpus] = [run_once(cpus) for _ in range(REPS)]
+    for _ in range(REPS):  # interleave so both configs see equal cache state
+        results[8].append(run_once(8))
+        results[32].append(run_once(32))
 
     def med(cpus: int, key, default=0.0):
         vals = []
