@@ -120,6 +120,15 @@ def test_knn_geo_matches_bruteforce(spark):
     b = knn_geo_bruteforce(q, c, k=3).select("query_id", "neighbor_id", "rank")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() == 40 * 3
+    # Fine cells / tight ring (kring=1, k=1 at res 5): the round-1 count-based
+    # gate provably returned wrong neighbors here (an in-ring candidate beat a
+    # nearer out-of-ring one); the distance-bound gate must match brute force.
+    a1 = knn_geo(q, c, k=1, res=5, kring=1).select("query_id", "neighbor_id", "rank")
+    b1 = knn_geo_bruteforce(q, c, k=1).select("query_id", "neighbor_id", "rank")
+    assert a1.exceptAll(b1).count() == 0 and b1.exceptAll(a1).count() == 0
+    a2 = knn_geo(q, c, k=2, res=6, kring=1).select("query_id", "neighbor_id", "rank")
+    b2 = knn_geo_bruteforce(q, c, k=2).select("query_id", "neighbor_id", "rank")
+    assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
 
 
 def test_raster_roundtrip_on_tiles(spark, features):

@@ -3,9 +3,11 @@
 Geo kNN (``BASELINE.json:6,14`` "kNN via indexed broadcast of cell
 neighbors"): candidates are indexed by H3-lite hex cell; each query point
 explodes its kRing-``k`` neighbor cells, the (small) cell→candidate index is
-broadcast, exact haversine refines, and a window takes top-k. Queries whose
-kRing found fewer than k candidates fall back to a brute-force pass (left-anti
-to find them — at scale this is the rare sparse-ocean tail).
+broadcast, exact haversine refines, and a window takes top-k. Exactness is by
+construction: a query's indexed result is accepted only when its k-th distance
+fits inside the radius the kRing provably covers; queries that fail the bound
+(or found < k candidates) fall back to a brute-force pass (left-anti to find
+them — at scale this is the rare sparse-ocean tail).
 
 Embedding kNN: brute-force cosine top-k as the exact baseline (the DuckDB
 oracle), plus an LSH-bucketed approximate variant (random-hyperplane SimHash
@@ -84,10 +86,26 @@ def knn_geo(queries: DataFrame, candidates: DataFrame, k: int = 5,
         "query_id", "lon", "lat", "cand_id", "clon", "clat")
     ranked = _rank_topk(pairs, k)
 
-    # sparse-cell fallback: queries whose kRing yielded < k candidates (incl.
-    # ZERO — they never appear in `ranked`) → exact brute-force pass
-    enough = (ranked.groupBy("query_id").count().filter(F.col("count") >= k)
-              .select("query_id"))
+    # Exactness gate. The kRing(kr) of the query's home cell provably covers
+    # a Mercator-plane disk of radius (1.5*kr - 0.5)*R around the query
+    # (R = hex circumradius; nearest out-of-ring cell center is 1.5*(kr+1)*R
+    # away, minus R for the query's and the candidate's offsets from their
+    # cell centers). Accept the indexed top-k only when the k-th haversine
+    # distance, converted to Mercator meters at the worst latitude the disk
+    # can reach (sec(|lat|+d/Re), times the sphere-radius ratio), fits inside
+    # that covered radius — then every true neighbor closer than the k-th is
+    # guaranteed indexed, so indexed top-k == brute-force top-k. Queries with
+    # < k candidates never satisfy n >= k and fall back too.
+    covered_m = (1.5 * kring - 0.5) * float(C.HEX_RES_M[res]) * 0.999
+    ratio = float(K.MERCATOR_R) / 6371008.8
+    stats = (ranked.groupBy("query_id")
+             .agg(F.count("*").alias("n"), F.max("dist_m").alias("dk")))
+    qstats = queries.select("query_id", "lat").join(stats, "query_id", "left")
+    phi = F.radians(F.abs(F.col("lat"))) + F.col("dk") / F.lit(6371008.8)
+    ok = (F.col("n").isNotNull() & (F.col("n") >= k)
+          & (phi < F.lit(np.pi / 2))
+          & (F.col("dk") * F.lit(ratio) / F.cos(phi) <= F.lit(covered_m)))
+    enough = qstats.filter(ok).select("query_id")
     have_full = ranked.join(enough, "query_id", "left_semi")
     missing = queries.join(enough, "query_id", "left_anti")
     brute = _rank_topk(

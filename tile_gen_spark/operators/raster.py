@@ -63,15 +63,21 @@ def zoom_density_stats(rasters: DataFrame) -> DataFrame:
     the custom-numeric-agg path next to the grouped-map one."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import functions as F
 
+    # Spark 4.x raises INVALID_PANDAS_UDF_PLACEMENT when a GROUPED_AGG pandas
+    # UDF shares an agg() with built-in aggregates, so n_tiles is a second
+    # pandas UDF rather than F.count("*").
     @pandas_udf("double")
     def mean_mass(mass: pd.Series) -> float:
         return float(mass.mean())
 
+    @pandas_udf("long")
+    def n_tiles(mass: pd.Series) -> int:
+        return int(mass.size)
+
     return (rasters.groupBy("z")
             .agg(mean_mass("mass").alias("mean_mass"),
-                 F.count("*").alias("n_tiles")))
+                 n_tiles("mass").alias("n_tiles")))
 
 
 def vectorize_tiles(rasters: DataFrame, width: int = 256, height: int = 256,
