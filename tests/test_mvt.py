@@ -45,3 +45,26 @@ def test_encode_decode_roundtrip():
     # tags reference the shared key/value tables
     assert layer["features"][0]["tags"] == [0, 0]
     assert layer["features"][1]["tags"] == [0, 0, 1, 1]
+
+
+def _shoelace(ring):
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def test_donut_polygon_winding_on_wire():
+    # MVT 2.1 §4.3.3.3: exterior ring positive shoelace area in tile coords
+    # (y-down), interior ring negative — as decoded from the wire bytes.
+    ext = [0, 0, 100, 0, 100, 100, 0, 100]            # positive area as listed
+    hole = [25, 25, 25, 75, 75, 75, 75, 25]           # negative area as listed
+    feats = [{"feature_id": 1, "kind": "polygon", "geom": [ext, hole], "props": {}}]
+    data = mvt.encode_tile(feats)
+    f = mvt.decode_tile(data)["layers"][0]["features"][0]
+    rings = mvt.decode_geometry(f["geometry"])
+    assert len(rings) == 2
+    assert _shoelace(rings[0]) > 0      # exterior
+    assert _shoelace(rings[1]) < 0      # hole
+    # decode_geometry inverts _geometry_commands exactly
+    assert [c for r in rings for p in r for c in p] == ext + hole

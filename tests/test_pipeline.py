@@ -131,6 +131,71 @@ def test_knn_geo_matches_bruteforce(spark):
     assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
 
 
+def test_parse_span_multi_ring():
+    from tile_gen_spark.operators.extract import _GEO_RE, _parse_span
+    m = next(_GEO_RE.finditer(
+        "@@geo poly 0 0; 1 0; 1 1; 0 1 | 0.2 0.2; 0.8 0.2; 0.8 0.8; 0.2 0.8@@"))
+    kind, rings = _parse_span(m)
+    assert kind == "polygon" and len(rings) == 2
+    assert rings[0] == [0, 0, 1, 0, 1, 1, 0, 1]
+    assert len(rings[1]) == 8
+    # '|' is polygon-only
+    m2 = next(_GEO_RE.finditer("@@geo line 0 0; 1 1 | 2 2; 3 3@@"))
+    assert _parse_span(m2) is None
+
+
+def _decoded_polygon_rings(mvt_bytes):
+    from tile_gen_spark.operators import mvt
+    out = []
+    for f in mvt.decode_tile(bytes(mvt_bytes))["layers"][0]["features"]:
+        if f["type"] == 3:
+            out.append(mvt.decode_geometry(f["geometry"]))
+    return out
+
+
+def _shoelace(ring):
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def test_donut_polygon_end_to_end(spark):
+    """Holes survive parse→clip→quantize→MVT, with MVT 2.1 §4.3.3.3 winding:
+    exterior positive shoelace area ON THE WIRE, holes negative — both on the
+    single-tile fast path (z3) and the cross-tile clip path (z6)."""
+    import math
+    from tile_gen_spark.operators.mvt import encode_tiles
+    from tile_gen_spark.operators.tiles import clip_shapes_direct, tile_feature_lists
+
+    # on a z6 lon tile boundary → cross-tile clip; lat 37..39 sits strictly
+    # between the z3/z6 mercator row boundaries (36.55°, 40.98°) → no y split
+    cx, cy_ = 11.25, 38.0
+    ang = [2 * math.pi * i / 8 for i in range(8)]
+    ext = [v for a in ang for v in (cx + 1.0 * math.cos(a), cy_ + 1.0 * math.sin(a))]
+    hole = [v for a in ang for v in (cx + 0.35 * math.cos(a), cy_ + 0.35 * math.sin(a))]
+    feats = spark.createDataFrame(
+        [(1, "polygon", [ext, hole], {"n": "donut"})],
+        "feature_id bigint, kind string, coords array<array<double>>, props map<string,string>")
+    tf = tile_feature_lists(clip_shapes_direct(feats, [3, 6]))
+    rows = encode_tiles(tf).collect()
+    by_z = {}
+    for r in rows:
+        by_z.setdefault(r["z"], []).append(r)
+    assert len(by_z[3]) == 1 and len(by_z[6]) >= 2
+    n_holes = 0
+    for r in rows:
+        for rings in _decoded_polygon_rings(r["mvt"]):
+            assert _shoelace(rings[0]) > 0, f"exterior not CW-on-wire in z{r['z']}"
+            for h in rings[1:]:
+                assert _shoelace(h) < 0
+                n_holes += 1
+    # fast path keeps the hole; each z6 half keeps its clipped hole piece
+    z3_rings = _decoded_polygon_rings(by_z[3][0]["mvt"])[0]
+    assert len(z3_rings) == 2
+    assert n_holes >= 3
+
+
 def test_raster_roundtrip_on_tiles(spark, features):
     from tile_gen_spark.operators.tiles import clip_shapes_direct
     from tile_gen_spark.operators.raster import raster_roundtrip_check

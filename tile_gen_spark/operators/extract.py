@@ -5,9 +5,10 @@ extractor output must equal the corpus ``text`` column byte-for-byte per url
 (``BASELINE.json:15``). Implemented as a scalar Arrow ``pandas_udf`` using
 pandas vectorized ``.str`` ops only; no per-row Python UDF calls.
 
-G15: parse inline geo spans (``@@geo point|line|poly lon lat[; ...]@@``,
-FIXTURES.md §1) out of extracted text into the ``features`` table
-(SURVEY.md §1.3) via ``mapInPandas`` — one output row per span, geometry as
+G15: parse inline geo spans (``@@geo point|line|poly lon lat[; ...][| ring]@@``,
+FIXTURES.md §1 — ``|`` separates polygon rings: ring 0 exterior, rings 1+
+holes) out of extracted text into the ``features`` table (SURVEY.md §1.3) via
+``mapInPandas`` — one output row per span, geometry as
 ``array<array<double>>`` flat rings.
 """
 
@@ -66,11 +67,11 @@ def parse_geo_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
                     parsed = _parse_span(m)
                     if parsed is None:
                         continue
-                    kind, pts = parsed
+                    kind, rings = parsed
                     urls.append(url)
                     fids.append(_fid(url, idx))
                     kinds.append(kind)
-                    coords.append([pts])
+                    coords.append(rings)
                     props.append({"src": "geo-span", "i": str(idx)})
             yield pd.DataFrame({
                 "url": pd.Series(urls, dtype="string"),
@@ -107,11 +108,11 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
                     parsed = _parse_span(m)
                     if parsed is None:
                         continue
-                    kind, pts = parsed
+                    kind, rings = parsed
                     urls.append(url)
                     fids.append(_fid(url, idx))
                     kinds.append(kind)
-                    coords.append([pts])
+                    coords.append(rings)
                     props.append({"src": "geo-span", "i": str(idx)})
             yield pd.DataFrame({
                 "url": pd.Series(urls, dtype="string"),
@@ -124,26 +125,33 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(fn, FEATURES_SCHEMA)
 
 
-def _parse_span(m) -> tuple[str, list[float]] | None:
+def _parse_span(m) -> tuple[str, list[list[float]]] | None:
+    """Span body → rings. ``|`` separates polygon rings (FIXTURES.md §1):
+    ring 0 is the exterior, rings 1+ are holes (donut polygons)."""
     kind = m.group(1)
-    pts: list[float] = []
-    for pair in m.group(2).split(";"):
-        parts = pair.split()
-        if len(parts) != 2:
+    rings: list[list[float]] = []
+    for ring_txt in m.group(2).split("|"):
+        pts: list[float] = []
+        for pair in ring_txt.split(";"):
+            parts = pair.split()
+            if len(parts) != 2:
+                return None
+            try:
+                pts.extend((float(parts[0]), float(parts[1])))
+            except ValueError:
+                return None
+        if not pts:
             return None
-        try:
-            pts.extend((float(parts[0]), float(parts[1])))
-        except ValueError:
-            return None
-    if not pts:
+        rings.append(pts)
+    if kind != "poly" and len(rings) != 1:
         return None
-    if kind == "point" and len(pts) != 2:
+    if kind == "point" and len(rings[0]) != 2:
         return None
-    if kind == "line" and len(pts) < 4:
+    if kind == "line" and len(rings[0]) < 4:
         return None
-    if kind == "poly" and len(pts) < 6:
+    if kind == "poly" and any(len(r) < 6 for r in rings):
         return None
-    return ("polygon" if kind == "poly" else kind), pts
+    return ("polygon" if kind == "poly" else kind), rings
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
@@ -156,16 +164,18 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
 
 
 def validity_filter(features: DataFrame) -> DataFrame:
-    """P4: drop NaN / out-of-range coords and degenerate geometries."""
-    first_ring = F.col("coords")[0]
-    xs = F.filter(F.transform(first_ring, lambda v, i: F.when(i % 2 == 0, v)), lambda v: v.isNotNull())
-    ys = F.filter(F.transform(first_ring, lambda v, i: F.when(i % 2 == 1, v)), lambda v: v.isNotNull())
+    """P4: drop NaN / out-of-range coords and degenerate geometries (checked
+    over ALL rings — holes included)."""
+    flat = F.flatten(F.col("coords"))
+    xs = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 0, v)), lambda v: v.isNotNull())
+    ys = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 1, v)), lambda v: v.isNotNull())
     in_range = (
         (F.array_max(xs) <= 180.0) & (F.array_min(xs) >= -180.0)
         & (F.array_max(ys) <= 90.0) & (F.array_min(ys) >= -90.0)
-        & ~F.exists(first_ring, lambda v: F.isnan(v) | v.isNull())
+        & ~F.exists(flat, lambda v: F.isnan(v) | v.isNull())
     )
     min_len = (F.when(F.col("kind") == "point", 2)
                .when(F.col("kind") == "line", 4)
                .otherwise(6))
-    return features.filter(in_range & (F.size(first_ring) >= min_len))
+    ok_len = F.forall(F.col("coords"), lambda r: F.size(r) >= min_len)
+    return features.filter(in_range & ok_len)

@@ -196,6 +196,45 @@ def decode_tile(data: bytes) -> dict:
     return out
 
 
+def decode_geometry(cmds: list[int]) -> list[list[tuple[int, int]]]:
+    """MVT command integers → list of vertex rings/paths (cursor-decoded).
+
+    Round-trip/debug helper for the encoder: winding of the returned rings is
+    exactly as stored on the wire (MVT 2.1 §4.3.3.3: exterior rings positive
+    shoelace area in tile coords, interior rings negative)."""
+    def unzig(n: int) -> int:
+        return (n >> 1) ^ -(n & 1)
+
+    rings: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        c = cmds[i]
+        i += 1
+        cmd, cnt = c & 7, c >> 3
+        if cmd == 1:  # MoveTo
+            if cur:
+                rings.append(cur)
+            for _ in range(cnt):
+                cx += unzig(cmds[i])
+                cy += unzig(cmds[i + 1])
+                i += 2
+                cur = [(cx, cy)]
+        elif cmd == 2:  # LineTo
+            for _ in range(cnt):
+                cx += unzig(cmds[i])
+                cy += unzig(cmds[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cmd == 7:  # ClosePath
+            rings.append(cur)
+            cur = []
+    if cur:
+        rings.append(cur)
+    return rings
+
+
 def encode_tiles(tile_features: DataFrame, layer_name: str = "features") -> DataFrame:
     """tile_features(z,x,y,features) → (z,x,y,n_features,mvt binary)."""
 

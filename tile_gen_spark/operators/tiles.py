@@ -35,6 +35,49 @@ CLIP_SCHEMA = ("z int, x bigint, y bigint, feature_id bigint, kind string, "
                "geom array<array<int>>, props map<string,string>")
 
 
+def _quantize_polygon_rings(rings: list[np.ndarray], z: int, x: int, y: int,
+                            extent: int) -> list[list[int]]:
+    """Clipped lon/lat rings (ring 0 exterior, 1+ holes) → MVT-wound quantized
+    pieces.
+
+    Winding is normalized in QUANTIZED tile space, where y points down: MVT
+    2.1 §4.3.3.3 requires the exterior ring to have POSITIVE shoelace area on
+    the stored (qx, qy) ints (screen-clockwise) and interior rings negative.
+    Normalizing CCW in lon/lat (y-up) and letting quantization flip the axis
+    — the round-1 behavior — inverts every ring's class for spec-conformant
+    decoders. Zero-area rings are dropped (spec: rings MUST have area > 0);
+    a degenerate exterior drops the whole feature-in-tile ([]).
+    """
+    geom: list[list[int]] = []
+    for ridx, p in enumerate(rings):
+        if p.shape[0] < 3:
+            if ridx == 0:
+                return []
+            continue
+        gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+        gx, gy = K.dedupe_consecutive(gx, gy)
+        if gx.size >= 2 and gx[0] == gx[-1] and gy[0] == gy[-1]:
+            gx, gy = gx[:-1], gy[:-1]
+        if gx.size < 3:
+            if ridx == 0:
+                return []
+            continue
+        q = np.column_stack([gx, gy]).astype(np.float64)
+        a = K.ring_signed_area(q)
+        if a == 0.0:
+            if ridx == 0:
+                return []
+            continue
+        if (a > 0) != (ridx == 0):
+            q = q[::-1]
+        geom.append(q.ravel().astype(np.int32).tolist())
+    return geom
+
+
+def _coord_rings(coords) -> list[np.ndarray]:
+    return [np.asarray(c, dtype=np.float64).reshape(-1, 2) for c in coords]
+
+
 def with_lonlat(features: DataFrame) -> DataFrame:
     """First vertex of the first ring as the representative point (for points
     this IS the geometry)."""
@@ -159,22 +202,21 @@ def clip_features(features: DataFrame, assignments: DataFrame,
             rows: dict[str, list] = {k: [] for k in ("z", "x", "y", "feature_id", "kind", "geom", "props")}
             for i, (fid, kind, coords, props) in enumerate(zip(
                     b["feature_id"], b["kind"], b["coords"], b["props"])):
-                ring = np.asarray(coords[0], dtype=np.float64)
                 z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
                 if kind == "line":
+                    ring = np.asarray(coords[0], dtype=np.float64)
                     pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
+                    geom = []
+                    for p in pieces:
+                        gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+                        gx, gy = K.dedupe_consecutive(gx, gy)
+                        if gx.size < 2:
+                            continue
+                        geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
                 else:
-                    clipped = K.clip_ring_bbox(ring, west[i], south[i], east[i], north[i])
-                    pieces = [K.normalize_winding(clipped, ccw=True)] if clipped.shape[0] >= 3 else []
-                geom = []
-                for p in pieces:
-                    gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
-                    gx, gy = K.dedupe_consecutive(gx, gy)
-                    if kind == "line" and gx.size < 2:
-                        continue
-                    if kind == "polygon" and gx.size < 3:
-                        continue
-                    geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
+                    clipped = [K.clip_ring_bbox(r, west[i], south[i], east[i], north[i])
+                               for r in _coord_rings(coords)]
+                    geom = _quantize_polygon_rings(clipped, z, x, y, extent)
                 if not geom:
                     continue
                 rows["z"].append(z)
@@ -234,28 +276,32 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
             rows: dict[str, list] = {k: [] for k in ("z", "x", "y", "feature_id", "kind", "geom", "props")}
             for fid, kind, coords, props, z in zip(
                     b["feature_id"], b["kind"], b["coords"], b["props"], b["_z"]):
-                ring = np.asarray(coords[0], dtype=np.float64)
+                rings_ll = _coord_rings(coords)
+                ring = rings_ll[0].ravel()
                 z = int(z)
-                r2 = ring.reshape(-1, 2)
-                vtx, vty = K.point_to_tile(r2[:, 0], r2[:, 1], z)
+                allv = rings_ll[0] if len(rings_ll) == 1 else np.concatenate(rings_ll)
+                vtx, vty = K.point_to_tile(allv[:, 0], allv[:, 1], z)
                 if vtx.min() == vtx.max() and vty.min() == vty.max():
                     # fast path (the majority at z ≤ ~9 for city-scale
-                    # features): every vertex in one tile ⇒ covering = that
-                    # tile and the clip is the identity — quantize directly
-                    gx, gy = K.quantize_to_tile(r2[:, 0], r2[:, 1], z,
-                                                int(vtx[0]), int(vty[0]), extent)
-                    gx, gy = K.dedupe_consecutive(gx, gy)
-                    if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
+                    # features): every vertex (all rings) in one tile ⇒
+                    # covering = that tile and the clip is the identity
+                    x, y = int(vtx[0]), int(vty[0])
+                    if kind == "line":
+                        gx, gy = K.quantize_to_tile(allv[:, 0], allv[:, 1], z, x, y, extent)
+                        gx, gy = K.dedupe_consecutive(gx, gy)
+                        if gx.size < 2:
+                            continue
+                        geom = [np.column_stack([gx, gy]).ravel().astype(np.int32).tolist()]
+                    else:
+                        geom = _quantize_polygon_rings(rings_ll, z, x, y, extent)
+                    if not geom:
                         continue
-                    if kind == "polygon":
-                        q = K.normalize_winding(np.column_stack([gx, -gy]), ccw=True)
-                        gx, gy = q[:, 0].astype(np.int64), (-q[:, 1]).astype(np.int64)
                     rows["z"].append(z)
-                    rows["x"].append(int(vtx[0]))
-                    rows["y"].append(int(vty[0]))
+                    rows["x"].append(x)
+                    rows["y"].append(y)
                     rows["feature_id"].append(fid)
                     rows["kind"].append(kind)
-                    rows["geom"].append([np.column_stack([gx, gy]).ravel().astype(np.int32).tolist()])
+                    rows["geom"].append(geom)
                     rows["props"].append(props)
                     continue
                 if kind == "polygon":
@@ -269,25 +315,24 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
                 east = (tiles[:, 0] + 1.0) / n_t * 360.0 - 180.0
                 north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * tiles[:, 1] / n_t))))
                 south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (tiles[:, 1] + 1.0) / n_t))))
-                ring_t = [tuple(v) for v in ring.reshape(-1, 2)]
+                rings_t = [[tuple(v) for v in r] for r in rings_ll]
                 for i in range(tiles.shape[0]):
                     x, y = int(tiles[i, 0]), int(tiles[i, 1])
                     if kind == "line":
                         pieces = K.clip_segments_bbox(ring, west[i], south[i], east[i], north[i])
+                        geom = []
+                        for p in pieces:
+                            gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
+                            gx, gy = K.dedupe_consecutive(gx, gy)
+                            if gx.size < 2:
+                                continue
+                            geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
                     else:
-                        c = K.clip_ring_bbox_fast(ring_t, west[i], south[i], east[i], north[i])
-                        if len(c) >= 3:
-                            arr = np.asarray(c, dtype=np.float64)
-                            pieces = [K.normalize_winding(arr, ccw=True)]
-                        else:
-                            pieces = []
-                    geom = []
-                    for p in pieces:
-                        gx, gy = K.quantize_to_tile(p[:, 0], p[:, 1], z, x, y, extent)
-                        gx, gy = K.dedupe_consecutive(gx, gy)
-                        if (kind == "line" and gx.size < 2) or (kind == "polygon" and gx.size < 3):
-                            continue
-                        geom.append(np.column_stack([gx, gy]).ravel().astype(np.int32).tolist())
+                        clipped = []
+                        for rt in rings_t:
+                            c = K.clip_ring_bbox_fast(rt, west[i], south[i], east[i], north[i])
+                            clipped.append(np.asarray(c, dtype=np.float64).reshape(-1, 2))
+                        geom = _quantize_polygon_rings(clipped, z, x, y, extent)
                     if not geom:
                         continue
                     rows["z"].append(z)

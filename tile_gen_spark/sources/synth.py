@@ -101,6 +101,24 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
             if kind == 0:
                 lon, lat = _coord_pair(gi, seed, 20)
                 span = "@@geo point %.6f %.6f@@" % (lon[0], lat[0])
+            elif kind == 2 and int(h64(gi, seed, 60)[0] % np.uint64(4)) == 0:
+                # donut polygon (~25% of polys): regular octagon exterior +
+                # concentric 0.35× hole — exercises the multi-ring/hole path
+                # end-to-end (FIXTURES.md §1: '|' separates rings, ring 0
+                # exterior, rings 1+ holes)
+                clon, clat = _coord_pair(gi, seed, 30)
+                r0 = 0.002 + float(hu(gi, seed, 61)[0]) * 0.01
+                # keep the whole donut off the mercator lat clamp so the hole
+                # stays strictly inside the exterior
+                clat0 = float(np.clip(clat[0], -MAX_LAT + 0.013, MAX_LAT - 0.013))
+                ang = 2 * np.pi * np.arange(8) / 8.0 + float(hu(gi, seed, 62)[0]) * np.pi
+                ex_lon = np.round(clon[0] + r0 * np.cos(ang), 6)
+                ex_lat = np.round(clat0 + r0 * np.sin(ang), 6)
+                h_lon = np.round(clon[0] + 0.35 * r0 * np.cos(ang), 6)
+                h_lat = np.round(clat0 + 0.35 * r0 * np.sin(ang), 6)
+                ext = "; ".join("%.6f %.6f" % (lo, la) for lo, la in zip(ex_lon, ex_lat))
+                hole = "; ".join("%.6f %.6f" % (lo, la) for lo, la in zip(h_lon, h_lat))
+                span = "@@geo poly %s | %s@@" % (ext, hole)
             else:
                 nv = 3 + int(h64(gi, seed, 13)[0] % np.uint64(4))
                 vi = np.arange(nv, dtype=np.uint64) + gi[0] * np.uint64(977)
