@@ -104,7 +104,11 @@ def q_latest_order_per_customer(d: str) -> str:
 
 def q_pip_join(d: str) -> str:
     """Even-odd ray-cast PIP in pure SQL (both dialects) — the oracle twin of
-    the quadkey-bucketed pip_join operator."""
+    the quadkey-bucketed pip_join operator. Boundary rule matches the kernel
+    (kernels.points_in_ring): a point ON an edge (|cross| ≤ 1e-12·max(1,len),
+    projection within the segment) counts as inside — with 6-decimal rounded
+    inputs a point CAN land exactly on an edge, and a strict-crossing oracle
+    would then diverge nondeterministically from the operator."""
     pts = _points_cte(d, f"WHERE {PIP_POINT_FILTER}")
     verts = _zone_vertices(d, N_ZONES)
     return f"""
@@ -114,13 +118,24 @@ edges AS (
   SELECT a.zone_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
   FROM verts a JOIN verts b
     ON a.zone_id = b.zone_id AND b.v = (a.v + 1) % 6
+),
+pe AS (
+  SELECT p.point_id, e.zone_id,
+    CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+          AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+         THEN 1 ELSE 0 END AS crossing,
+    CASE WHEN abs((p.lon - e.x1) * (e.y2 - e.y1) - (p.lat - e.y1) * (e.x2 - e.x1))
+              <= 1e-12 * greatest(1.0, sqrt((e.x2 - e.x1) * (e.x2 - e.x1)
+                                            + (e.y2 - e.y1) * (e.y2 - e.y1)))
+          AND ((p.lon - e.x1) * (e.x2 - e.x1) + (p.lat - e.y1) * (e.y2 - e.y1)) >= 0
+          AND ((p.lon - e.x1) * (e.x2 - e.x1) + (p.lat - e.y1) * (e.y2 - e.y1))
+              <= ((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1))
+         THEN 1 ELSE 0 END AS on_edge
+  FROM pts p CROSS JOIN edges e
 )
-SELECT p.point_id, e.zone_id
-FROM pts p JOIN edges e
-  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
- AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
-GROUP BY p.point_id, e.zone_id
-HAVING count(*) % 2 = 1
+SELECT point_id, zone_id FROM pe
+GROUP BY point_id, zone_id
+HAVING sum(crossing) % 2 = 1 OR max(on_edge) = 1
 """
 
 
@@ -439,6 +454,63 @@ def _run_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_points") >= 2))
 
 
+def q_approx_distinct_oracle(d: str) -> str:
+    """Oracle emits the exact distinct count plus approx_ok=true; the Spark
+    side recomputes the flag as |HLL± − exact| ≤ 5%·exact, so a hash match
+    certifies the approx sketch landed inside tolerance (A4)."""
+    return ("SELECT l_returnflag, "
+            "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders, "
+            "(1 = 1) AS approx_ok FROM lineitem GROUP BY l_returnflag")
+
+
+def _run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approx_count_distinct (HLL++, rsd 2%) next to the exact count.
+
+    At 100 TB the approx pass is the practical one (no per-group distinct
+    shuffle state); the exact column is here so the oracle can certify the
+    sketch's error bound, not because production would compute both."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    g = (spark.table("lineitem").groupBy("l_returnflag")
+         .agg(F.countDistinct("l_orderkey").alias("exact_orders"),
+              F.approx_count_distinct("l_orderkey", 0.02).alias("approx")))
+    return g.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (F.abs(F.col("approx") - F.col("exact_orders"))
+         <= 0.05 * F.col("exact_orders")).alias("approx_ok"))
+
+
+def q_s2_quadtree_oracle(d: str) -> str:
+    """DuckDB twin of the quadtree parent rollup: level-6 floors computed
+    directly (≡ level-30 floors shifted down 24, by floor nesting)."""
+    pts = _points_cte(d)
+    ix = S.s2_quad_ix("lon", 6)
+    iy = S.s2_quad_iy("lat", 6)
+    return (f"WITH pts AS ({pts}) "
+            f"SELECT ({ix} * 64 + {iy}) AS q6, "
+            f"CAST(count(*) AS BIGINT) AS n_points "
+            f"FROM pts GROUP BY 1 HAVING count(*) >= 2")
+
+
+def _run_s2_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 quadtree parent rollup WITH a cross-engine oracle (VERDICT r1 #8):
+    kernel packs pre-Hilbert level-30 (ix, iy); the 30→6 parent step is
+    relational bit-shifts; the oracle recomputes level 6 by direct floor."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.knn import s2_quad_cell_udf
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_points_cte(S.SPARK))
+    c = pts.withColumn("c30", s2_quad_cell_udf("lon", "lat"))
+    ix6 = F.shiftright(F.shiftright(F.col("c30"), 30), 24)
+    iy6 = F.shiftright(F.col("c30").bitwiseAND(F.lit((1 << 30) - 1)), 24)
+    return (c.select((ix6 * 64 + iy6).alias("q6"))
+            .groupBy("q6").agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") >= 2))
+
+
 def _run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN (random-hyperplane LSH) — rows-only; recall is checked
     against the exact result in-query (recall_pct column)."""
@@ -587,6 +659,8 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "extract_text_sha": (_run_extract_text, q_extract_text_oracle),
     "hex_cells": (_run_hex_cells, None),
     "s2_cells": (_run_s2_cells, None),
+    "s2_quadtree_rollup": (_run_s2_quadtree, q_s2_quadtree_oracle),
+    "approx_distinct": (_run_approx_distinct, q_approx_distinct_oracle),
     "ann_lsh_recall": (_run_ann_lsh, None),
     "tile_build": (_run_tile_build, None),
     "raster_roundtrip": (_run_raster_roundtrip, None),

@@ -219,6 +219,27 @@ def test_checkpoint_resume(spark, features):
         mani = spark.read.parquet(man)
         assert mani.filter("output_rows <= 0").count() == 0
         assert set(mani.select("stage").distinct().toPandas()["stage"]) == {"tiles"}
+        # zoom summary rows (partition_id = -1) carry the real pre-sink input
+        summ = mani.filter("partition_id = -1")
+        assert summ.select("z").distinct().count() == 3
+        assert summ.filter("input_rows IS NULL").count() == 0
+        assert mani.filter("partition_id >= 0 AND input_rows IS NOT NULL").count() == 0
+
+
+def test_checkpoint_empty_zoom_not_rerun(spark):
+    """A zoom that produces zero tiles still commits a sentinel manifest row,
+    so resume does NOT re-run it forever (ADVICE round 1)."""
+    from tile_gen_spark.operators.checkpoint import run_tile_job
+    empty = spark.createDataFrame(
+        [], "feature_id bigint, kind string, coords array<array<double>>, "
+            "props map<string,string>")
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "tiles")
+        man = os.path.join(td, "manifest")
+        s1 = run_tile_job(spark, empty, out, man, [2])
+        assert s1 == {"zooms_run": 1, "zooms_skipped": 0, "tiles": 0}
+        s2 = run_tile_job(spark, empty, out, man, [2])
+        assert s2["zooms_run"] == 0 and s2["zooms_skipped"] == 1
 
 
 def test_streaming_incremental(spark, pages):
@@ -233,6 +254,35 @@ def test_streaming_incremental(spark, pages):
         got = spark.read.parquet(out)
         assert got.count() > 0
         assert got.select("batch_id").distinct().count() >= 1
+
+
+def test_stateful_stream_dedup(spark):
+    """§2.10d: dropDuplicatesWithinWatermark suppresses recrawls of the same
+    url arriving within the watermark, end-to-end through a real stream."""
+    import datetime as dt
+    from tile_gen_spark.streaming.incremental import dedup_stream
+    from tile_gen_spark.sources.synth import PAGES_SCHEMA
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(50):
+        url = f"https://h.example/p{i}"
+        rows.append((url, base + dt.timedelta(minutes=i), b"<html></html>", "t", "en"))
+        if i % 5 == 0:  # recrawl 20 minutes later — inside the 2h watermark
+            rows.append((url, base + dt.timedelta(minutes=i + 20), b"<html>2</html>", "t2", "en"))
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        ck = os.path.join(td, "ck")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (dedup_stream(stream).writeStream.format("memory")
+             .queryName("dedup_out").outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = spark.sql("SELECT url FROM dedup_out")
+        assert out.count() == 50
+        assert out.distinct().count() == 50
 
 
 def test_streaming_windows_batch_shape(spark):

@@ -72,6 +72,19 @@ def test_salted_agg_two_phase_shape(spark):
     assert "pmod" in plan
 
 
+def test_tile_sink_clustering_plan(spark):
+    """O2: the sink input must show a hash exchange on (z, x) with a
+    partition-local Sort on (z, x, y) above it — tile-range scan locality."""
+    from tile_gen_spark.sources.catalog import cluster_tiles
+    tiles = spark.range(1000).select(
+        (F.col("id") % 13).cast("int").alias("z"), (F.col("id") % 40).alias("x"),
+        (F.col("id") % 37).alias("y"), F.lit(1).cast("int").alias("n_features"))
+    plan = _plan(cluster_tiles(tiles))
+    assert re.search(r"hashpartitioning\(z#\d+, x#\d+", plan)
+    m = re.search(r"\[z#\d+\w* ASC[^\]]*x#\d+\w* ASC[^\]]*y#\d+\w* ASC[^\]]*\], (\w+), 0", plan)
+    assert m and m.group(1) == "false"  # partition-local Sort, not global
+
+
 def test_broadcast_dim_join_autodetected(spark, tmp_path):
     """Catalyst must auto-broadcast a small dim parquet table (J3)."""
     import os

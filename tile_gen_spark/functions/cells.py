@@ -129,14 +129,28 @@ def _hilbert_d(ix: np.ndarray, iy: np.ndarray, order: int) -> np.ndarray:
     return d
 
 
-def s2_cell(lon: np.ndarray, lat: np.ndarray, level: int = S2_MAX_LEVEL) -> np.ndarray:
-    """int64 Hilbert position of the level-`level` quadtree cell (0..4^level)."""
+def s2_quad_ixiy(lon: np.ndarray, lat: np.ndarray,
+                 level: int = S2_MAX_LEVEL) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-Hilbert quadtree coordinates (ix, iy) at `level` on the mercator
+    square — pure floor arithmetic, so it HAS a cross-engine SQL twin
+    (plans/sqlgen.s2_quad_*), unlike the Hilbert position."""
     mx, my = lonlat_to_mercator(lon, lat)
     n = np.int64(1) << np.int64(level)
     fx = (mx + _WORLD) / (2.0 * _WORLD)
     fy = (my + _WORLD) / (2.0 * _WORLD)
     ix = np.clip((fx * float(n)).astype(np.int64), 0, n - 1)
     iy = np.clip((fy * float(n)).astype(np.int64), 0, n - 1)
+    return ix, iy
+
+
+def s2_quad_pack(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    """(ix, iy) → packed int64 ix*2^level + iy (fits: 2*level ≤ 60)."""
+    return (np.asarray(ix, np.int64) << np.int64(level)) + np.asarray(iy, np.int64)
+
+
+def s2_cell(lon: np.ndarray, lat: np.ndarray, level: int = S2_MAX_LEVEL) -> np.ndarray:
+    """int64 Hilbert position of the level-`level` quadtree cell (0..4^level)."""
+    ix, iy = s2_quad_ixiy(lon, lat, level)
     return _hilbert_d(ix, iy, level)
 
 

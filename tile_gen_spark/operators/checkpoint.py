@@ -33,7 +33,10 @@ MANIFEST_SCHEMA = ("run_id string, stage string, z int, partition_id int, "
 
 def partition_metrics(df: DataFrame, z: int, stage: str, run_id: str,
                       started: float, lineage: str) -> DataFrame:
-    """Per-partition row counts of df, as manifest rows (lineage + metrics)."""
+    """Per-partition OUTPUT row counts of df as manifest rows (lineage +
+    metrics). input_rows is null at partition grain (the pre-sink input isn't
+    attributable to sink partitions post-shuffle); the zoom-level input lives
+    on the partition_id = -1 summary row (see zoom_summary_row)."""
     now = time.time()
     return (df.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid").count()
@@ -41,11 +44,24 @@ def partition_metrics(df: DataFrame, z: int, stage: str, run_id: str,
                     F.lit(stage).alias("stage"),
                     F.lit(z).cast("int").alias("z"),
                     F.col("_pid").cast("int").alias("partition_id"),
-                    F.col("count").cast("bigint").alias("input_rows"),
+                    F.lit(None).cast("bigint").alias("input_rows"),
                     F.col("count").cast("bigint").alias("output_rows"),
                     F.lit(started).alias("started_ts"),
                     F.lit(now).alias("finished_ts"),
                     F.lit(lineage).alias("lineage")))
+
+
+def zoom_summary_row(spark: SparkSession, z: int, stage: str, run_id: str,
+                     started: float, lineage: str, input_rows: int,
+                     output_rows: int) -> DataFrame:
+    """Zoom-level sentinel manifest row (partition_id = -1): carries the
+    observed pre-sink input count and total output. Committed for EVERY zoom
+    — including ones that legitimately produce zero tiles, which would
+    otherwise never enter completed_zooms and re-run on every resume."""
+    return spark.createDataFrame(
+        [(run_id, stage, int(z), -1, int(input_rows), int(output_rows),
+          float(started), float(time.time()), lineage)],
+        MANIFEST_SCHEMA)
 
 
 class TileCheckpoint:
@@ -91,6 +107,8 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
 
     from pyspark.sql import Observation
 
+    from ..sources.catalog import cluster_tiles
+
     run_id = run_id or uuid.uuid4().hex[:12]
     ckpt = TileCheckpoint(spark, manifest_path)
     todo = ckpt.pending(zooms)
@@ -103,12 +121,23 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
         tiles = build_tile_features(features, [z], salt=salt).observe(
             obs, F.count(F.lit(1)).alias("tiles"), F.sum("n_features").alias("feature_rows"))
         out_path = os.path.join(out_dir, f"z={z}")
-        tiles.write.mode("overwrite").parquet(out_path)  # idempotent per zoom
+        # O2 sink clustering: few files per zoom, rows sorted (z,x,y) inside
+        cluster_tiles(tiles).write.mode("overwrite").parquet(out_path)  # idempotent per zoom
         got = obs.get  # free — piggybacks on the sink action (S5/A3 metrics)
-        total_tiles += int(got["tiles"])
-        written = spark.read.parquet(out_path)
+        n_tiles = int(got["tiles"])
+        feature_rows = int(got["feature_rows"] or 0)
+        total_tiles += n_tiles
         lineage = (f"pages>latest_per_url>extract>parse_geo>validity>"
                    f"assign(z={z})>clip>quantize>collect_list"
-                   f"|observed_feature_rows={got['feature_rows']}")
-        ckpt.commit(partition_metrics(written, z, "tiles", run_id, started, lineage))
+                   f"|observed_feature_rows={feature_rows}")
+        summary = zoom_summary_row(spark, z, "tiles", run_id, started, lineage,
+                                   input_rows=feature_rows, output_rows=n_tiles)
+        if n_tiles > 0:
+            written = spark.read.parquet(out_path)
+            ckpt.commit(summary.unionByName(
+                partition_metrics(written, z, "tiles", run_id, started, lineage)))
+        else:
+            # zero-tile zooms still commit: completed_zooms must record them
+            # or every resume re-runs the empty zoom forever
+            ckpt.commit(summary)
     return {"zooms_run": len(todo), "zooms_skipped": skipped, "tiles": total_tiles}

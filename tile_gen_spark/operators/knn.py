@@ -42,6 +42,15 @@ def s2_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(C.s2_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 30))
 
 
+@pandas_udf(LongType())
+def s2_quad_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """G6: packed pre-Hilbert level-30 quadtree cell (ix·2^30 + iy) — parent
+    navigation is pure bit shifts, and the whole path has a SQL oracle twin
+    (plans/sqlgen.s2_quad_*)."""
+    ix, iy = C.s2_quad_ixiy(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 30)
+    return pd.Series(C.s2_quad_pack(ix, iy, 30))
+
+
 def _kring_udf(k: int):
     @pandas_udf(ArrayType(LongType()))
     def fn(cell: pd.Series) -> pd.Series:

@@ -357,7 +357,11 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     # fine-grained rows pack the task waves evenly (the 64-partition version
     # ran local[32] in 2 straggler-dominated waves — measured 0.5 efficiency);
     # 8× overpartitioning keeps the max wave skew ~1/8 of a wave.
-    n_parts = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions")) * 4
+    try:
+        base = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on AQE-managed clusters
+        base = shapes.sparkSession.sparkContext.defaultParallelism
+    n_parts = base * 4
     sel = (shapes.select("feature_id", "kind", "coords", "props")
            .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
            .repartition(n_parts, "feature_id", "_z"))

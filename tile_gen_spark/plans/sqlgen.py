@@ -96,6 +96,28 @@ def quantize_y(lat: str, z: str, y: str, extent: int = 4096) -> str:
     return (f"CAST(least(greatest(floor({fy} * {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
 
 
+# --- G6: S2-lite quadtree (pre-Hilbert) cell coords, shared text -------------
+# Mirrors functions/cells.s2_quad_ixiy: fx = (mercator_x + W) / 2W etc. with
+# W = R·π; pure floor arithmetic, so the quadtree parent rollup has a DuckDB
+# twin (the Hilbert position itself stays pytest-only).
+
+_MERC_R = "6378137.0"
+
+
+def s2_quad_ix(lon: str, level: int) -> str:
+    n = 1 << level
+    fx = f"((radians({lon}) * {_MERC_R} + {_MERC_R} * pi()) / (2.0 * {_MERC_R} * pi()))"
+    return f"CAST(least(greatest(floor({fx} * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
+
+
+def s2_quad_iy(lat: str, level: int) -> str:
+    n = 1 << level
+    la = clamped_lat(lat)
+    my = f"({_MERC_R} * ln(tan(pi() / 4.0 + radians({la}) / 2.0)))"
+    fy = f"(({my} + {_MERC_R} * pi()) / (2.0 * {_MERC_R} * pi()))"
+    return f"CAST(least(greatest(floor({fy} * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
+
+
 # --- G4: quadkey as fixed-z digit concatenation ------------------------------
 
 def quadkey(x: str, y: str, z: int, d: str) -> str:
