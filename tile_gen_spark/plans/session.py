@@ -31,7 +31,10 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode puts ALL executor threads in the driver heap;
+        # 16g measured flat-stable across reps — 8g went GC-bound on heavy
+        # 32-thread stages, 48g spiked on heap expansion (4s → 50s outliers)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()

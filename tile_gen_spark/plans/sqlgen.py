@@ -42,8 +42,14 @@ def lcg(expr: str, a: int, b: int, m: int) -> str:
     """Arithmetic-only hash — identical text in both dialects.
 
     Inputs must stay < 2^63 / a to avoid overflow: callers pass small keys.
+    The result is CAST to DOUBLE: without it, the downstream `/ 1000000.0`
+    is DECIMAL division in Spark and every derived lon/lat flows through
+    BigDecimal (measured: the pip bench probe stage allocated its way to a
+    ~7× slowdown + GC-bound 32-thread scaling). The cast is exact (values
+    < 2^53) and the quotient k/1e6 rounds to the same double either way, in
+    both engines, so oracle parity is unchanged.
     """
-    return f"((({expr}) * {a} + {b}) % {m})"
+    return f"(CAST((({expr}) * {a} + {b}) % {m} AS DOUBLE))"
 
 
 # --- deterministic synthetic points from lineitem keys (FIXTURES.md §4) -----

@@ -158,15 +158,16 @@ def gen_pages(spark: SparkSession, n: int, seed: int = 42, parallelism: int | No
     return rng.mapInPandas(fn, PAGES_SCHEMA)
 
 
-def _zone_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _zone_batch(ids: np.ndarray, seed: int, radius_scale: float = 1.0,
+                nv_extra: int = 0) -> pd.DataFrame:
     i = ids.astype(np.uint64)
     clon, clat = _city_centers(seed)
     hot = hu(i, seed, 40) < 0.2
     city = (h64(i, seed, 41) % np.uint64(N_CITIES)).astype(np.int64)
     lon0 = np.where(hot, clon[city], hu(i, seed, 42) * 340.0 - 170.0)
     lat0 = np.where(hot, clat[city], hu(i, seed, 43) * 140.0 - 70.0)
-    radius = 0.05 + hu(i, seed, 44) * 2.95
-    nv = 5 + (h64(i, seed, 45) % np.uint64(8)).astype(np.int64)
+    radius = (0.05 + hu(i, seed, 44) * 2.95) * radius_scale
+    nv = 5 + nv_extra + (h64(i, seed, 45) % np.uint64(8)).astype(np.int64)
     rings = []
     for j in range(i.size):
         k = int(nv[j])
@@ -182,10 +183,14 @@ def _zone_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     })
 
 
-def gen_zones(spark: SparkSession, m: int, seed: int = 42) -> DataFrame:
+def gen_zones(spark: SparkSession, m: int, seed: int = 42,
+              radius_scale: float = 1.0, nv_extra: int = 0) -> DataFrame:
+    """radius_scale shrinks zones uniformly; nv_extra adds vertices per zone
+    (bench uses many small high-vertex zones so candidate volume stays
+    constant while per-candidate refine work is real)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _zone_batch(b["id"].to_numpy(), seed)
+            yield _zone_batch(b["id"].to_numpy(), seed, radius_scale, nv_extra)
 
     # small dim table: few fat partitions beat 64 tiny python batches
     return spark.range(m, numPartitions=max(2, m // 500)).mapInPandas(fn, ZONES_SCHEMA)
