@@ -47,6 +47,26 @@ def test_encode_decode_roundtrip():
     assert layer["features"][1]["tags"] == [0, 0, 1, 1]
 
 
+def test_typed_values_roundtrip():
+    # MVT 2.1 §4.4: int/double/bool properties use typed Value fields, not
+    # string_value; 1 and True dedupe as distinct values
+    feats = [{"feature_id": 1, "kind": "point", "geom": [[5, 5]],
+              "props": {"name": "x", "rank": 7, "score": 2.5,
+                        "ok": True, "one": 1}}]
+    data = mvt.encode_tile(feats)
+    layer = mvt.decode_tile(data)["layers"][0]
+    vals = [mvt.decode_value(v) for v in layer["values"]]
+    tags = layer["features"][0]["tags"]
+    got = {layer["keys"][tags[i]]: vals[tags[i + 1]] for i in range(0, len(tags), 2)}
+    assert got == {"name": "x", "rank": 7, "score": 2.5, "ok": True, "one": 1}
+    assert isinstance(got["ok"], bool) and not isinstance(got["one"], bool)
+    assert isinstance(got["rank"], int) and isinstance(got["score"], float)
+    # negative int via two's-complement uint64 varint
+    f2 = [{"feature_id": 2, "kind": "point", "geom": [[1, 1]], "props": {"d": -3}}]
+    l2 = mvt.decode_tile(mvt.encode_tile(f2))["layers"][0]
+    assert mvt.decode_value(l2["values"][0]) == -3
+
+
 def _shoelace(ring):
     s = 0
     for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):

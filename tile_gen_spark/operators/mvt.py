@@ -12,7 +12,7 @@ in the sandbox):
   Layer       { version=15(=2), name=1, repeated Feature features=2,
                 repeated keys=3, repeated Value values=4, extent=5 }
   Feature     { id=1, tags=2 (packed), type=3, geometry=4 (packed) }
-  Value       { string_value=1 }
+  Value       { string_value=1, double_value=3, int_value=4, bool_value=7 }
 Geometry commands: MoveTo(1), LineTo(2), ClosePath(7); params zigzag-encoded
 deltas. type: 1=POINT, 2=LINESTRING, 3=POLYGON.
 """
@@ -57,6 +57,44 @@ def _packed(tag: int, values: list[int]) -> bytes:
     return _len_field(tag, body)
 
 
+def _encode_value(v) -> bytes:
+    """MVT 2.1 Value message with typed fields (§4.4): bool → bool_value(7),
+    int → int_value(4), float → double_value(3), else string_value(1).
+    Round-1 stored everything as strings — conformant but lossy for typed
+    property consumers."""
+    if isinstance(v, bool):
+        return _field(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _field(4, 0) + _varint(v & ((1 << 64) - 1))
+    if isinstance(v, float):
+        import struct
+        return _field(3, 0) + struct.pack("<d", v)
+    return _len_field(1, str(v).encode())
+
+
+def decode_value(buf: bytes):
+    """Inverse of _encode_value (round-trip tests)."""
+    import struct
+    tag = buf[0]
+    fno, wire = tag >> 3, tag & 7
+    if fno == 1:
+        ln = buf[1]
+        return buf[2:2 + ln].decode()
+    if fno == 3:
+        return struct.unpack("<d", buf[1:9])[0]
+    if fno == 7:
+        return buf[1] == 1
+    if fno == 4:  # varint, may exceed one byte
+        n = shift = 0
+        for b in buf[1:]:
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return n - (1 << 64) if n >= (1 << 63) else n
+    return buf
+
+
 def _geometry_commands(kind: str, pieces: list[list[int]]) -> list[int]:
     """Quantized flat [x0,y0,x1,y1,...] pieces → MVT command integers."""
     cmds: list[int] = []
@@ -87,23 +125,24 @@ def encode_tile(features: list[dict], layer_name: str = "features",
                 extent: int = 4096) -> bytes:
     """One tile's feature list → MVT bytes."""
     keys: list[str] = []
-    values: list[str] = []
+    values: list = []
     kidx: dict[str, int] = {}
-    vidx: dict[str, int] = {}
+    vidx: dict = {}
 
     feats_b = b""
     for f in features:
         tags: list[int] = []
         props = f.get("props") or {}
         for k in sorted(props):
-            v = str(props[k])
+            v = props[k]
+            vk = (type(v).__name__, v)  # 1 and True dedupe separately
             if k not in kidx:
                 kidx[k] = len(keys)
                 keys.append(k)
-            if v not in vidx:
-                vidx[v] = len(values)
+            if vk not in vidx:
+                vidx[vk] = len(values)
                 values.append(v)
-            tags += [kidx[k], vidx[v]]
+            tags += [kidx[k], vidx[vk]]
         geom = _geometry_commands(f["kind"], f["geom"])
         body = (_field(1, 0) + _varint(int(f["feature_id"]) & ((1 << 64) - 1))
                 + _packed(2, tags)
@@ -115,7 +154,7 @@ def encode_tile(features: list[dict], layer_name: str = "features",
              + _len_field(1, layer_name.encode())
              + feats_b
              + b"".join(_len_field(3, k.encode()) for k in keys)
-             + b"".join(_len_field(4, _len_field(1, v.encode())) for v in values)
+             + b"".join(_len_field(4, _encode_value(v)) for v in values)
              + _field(5, 0) + _varint(extent))
     return _len_field(3, layer)
 
