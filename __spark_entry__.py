@@ -482,6 +482,56 @@ def _run_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= 0.05 * F.col("exact_orders")).alias("approx_ok"))
 
 
+def q_hex_cells_oracle(d: str) -> str:
+    """DuckDB twin of the H3-lite hex rollup (G5): pointy-top axial coords on
+    the Mercator plane + cube rounding (the standard hex-grid algorithm) in
+    plain SQL — mirrors cells.hex_cell operation-for-operation. round() is
+    half-away vs numpy's half-even rint; they differ only at exact .5
+    fractional axial coords, which the transcendental Mercator projection
+    never produces from 6-decimal inputs."""
+    import tile_gen_spark.functions.cells as C
+    res = 3
+    size = repr(float(C.HEX_RES_M[res]))
+    off = 1 << 26
+    pts = _points_cte(d)
+    la = S.clamped_lat("lat")
+    return f"""
+WITH pts AS ({pts}),
+m AS (
+  SELECT point_id,
+         radians(lon) * {S._MERC_R} AS mx,
+         {S._MERC_R} * ln(tan(pi() / 4.0 + radians({la}) / 2.0)) AS my
+  FROM pts
+),
+f AS (
+  SELECT point_id,
+         (sqrt(3.0) / 3.0 * mx - my / 3.0) / {size} AS xf,
+         (2.0 / 3.0 * my) / {size} AS zf
+  FROM m
+),
+r1 AS (
+  SELECT point_id, xf, zf, (-xf - zf) AS yf,
+         round(xf) AS rx, round(-xf - zf) AS ry, round(zf) AS rz
+  FROM f
+),
+r2 AS (
+  SELECT point_id, rx, ry, rz,
+         abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz
+  FROM r1
+),
+qr AS (
+  SELECT point_id,
+         CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+         CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx - ry ELSE rz END AS r
+  FROM r2
+)
+SELECT ({res} * 72057594037927936 + (CAST(q AS BIGINT) + {off}) * 268435456
+        + (CAST(r AS BIGINT) + {off})) AS cell,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM qr GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_s2_quadtree_oracle(d: str) -> str:
     """DuckDB twin of the quadtree parent rollup: level-6 floors computed
     directly (≡ level-30 floors shifted down 24, by floor nesting)."""
@@ -522,6 +572,25 @@ def _run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 50 == 0)
     exact = knn_embeddings(q, emb, k=5).select("query_id", "neighbor_id")
     approx = knn_embeddings_lsh(q, emb, k=5, bits=32, bands=16).select("query_id", "neighbor_id")
+    hit = exact.intersect(approx).count()
+    total = exact.count()
+    return spark.createDataFrame(
+        [(int(hit), int(total), round(100.0 * hit / max(total, 1), 1))],
+        "hits bigint, total bigint, recall_pct double")
+
+
+def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN (IVF coarse-quantizer probe) — rows-only; recall vs the
+    exact result checked in-query (recall_pct column)."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.knn import knn_embeddings, knn_embeddings_ivf
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = knn_embeddings(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = knn_embeddings_ivf(q, emb, k=5, n_centroids=32, nprobe=8).select(
+        "query_id", "neighbor_id")
     hit = exact.intersect(approx).count()
     total = exact.count()
     return spark.createDataFrame(
@@ -657,11 +726,12 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "knn_geo": (_run_knn_geo, q_knn_geo),
     "knn_embeddings": (_run_knn_embeddings, q_knn_embeddings),
     "extract_text_sha": (_run_extract_text, q_extract_text_oracle),
-    "hex_cells": (_run_hex_cells, None),
+    "hex_cells": (_run_hex_cells, q_hex_cells_oracle),
     "s2_cells": (_run_s2_cells, None),
     "s2_quadtree_rollup": (_run_s2_quadtree, q_s2_quadtree_oracle),
     "approx_distinct": (_run_approx_distinct, q_approx_distinct_oracle),
     "ann_lsh_recall": (_run_ann_lsh, None),
+    "ann_ivf_recall": (_run_ann_ivf, None),
     "tile_build": (_run_tile_build, None),
     "raster_roundtrip": (_run_raster_roundtrip, None),
     "mvt_encode": (_run_mvt_encode, None),

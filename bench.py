@@ -86,21 +86,36 @@ def main() -> None:
         ZOOMS, salt=8).count()
 
     # --- tile_pipeline: the headline tiles/sec metric ---
-    t0 = time.time()
-    pages = spark.read.parquet(pages_path)
-    latest = latest_per_url(pages)
-    # persist: the point and shape paths both branch from `feats`, and union
-    # branches re-execute shared subtrees (no cross-branch CSE in Catalyst)
-    feats = validity_filter(extract_and_parse(latest)).persist()
-    tiles = build_tile_features(feats, ZOOMS, salt=8)
-    n_tiles, n_feat_rows = tiles.select(
-        F.count("*"), F.sum("n_features")).first()
-    dt = time.time() - t0
+    # BENCH_REPS > 1: run (reps + 1) full-size passes in-process, discard the
+    # first (C2 JIT fully compiles the big codegen stages only after a full
+    # pass — measured 1.3-2x on the first), report the median. Default 1
+    # (single timed run, driver contract).
+    reps = max(1, int(os.environ.get("BENCH_REPS", "1")))
+    import statistics
+
+    def run_pipeline():
+        t0 = time.time()
+        pages = spark.read.parquet(pages_path)
+        latest = latest_per_url(pages)
+        # persist: the point and shape paths both branch from `feats`, and
+        # union branches re-execute shared subtrees (no cross-branch CSE)
+        feats = validity_filter(extract_and_parse(latest)).persist()
+        tiles = build_tile_features(feats, ZOOMS, salt=8)
+        nt, nf = tiles.select(F.count("*"), F.sum("n_features")).first()
+        dt = time.time() - t0
+        feats.unpersist()  # free executor memory before the next section
+        return dt, int(nt), int(nf)
+
+    runs = [run_pipeline() for _ in range(reps + 1 if reps > 1 else 1)]
+    timed = runs[1:] if reps > 1 else runs
+    dt = statistics.median(r[0] for r in timed)
+    n_tiles, n_feat_rows = timed[-1][1], timed[-1][2]
     timings["tile_pipeline"] = round(dt, 2)
     tiles_per_sec = n_tiles / dt
-    extras["n_tiles"] = int(n_tiles)
-    extras["n_tile_feature_rows"] = int(n_feat_rows)
-    feats.unpersist()  # free executor memory before the next timed section
+    extras["n_tiles"] = n_tiles
+    extras["n_tile_feature_rows"] = n_feat_rows
+    if reps > 1:
+        extras["tile_pipeline_reps"] = [round(r[0], 2) for r in runs]
 
     # --- pip_join: joined rows/sec ---
     # Synthetic relational point set + many small zones: every stage of the
@@ -122,14 +137,19 @@ def main() -> None:
         q.count()
         q.count()  # two discarded warm runs: C2 fully compiles the probe +
         # refine codegen only after ~2 full-size passes (measured 19s → 7s)
-        t0 = time.time()
-        n_pairs = q.count()
-        dt = time.time() - t0
+        pip_runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            n_pairs = q.count()
+            pip_runs.append(time.time() - t0)
+        dt = statistics.median(pip_runs)
         zones.unpersist()
         timings["pip_join"] = round(dt, 2)
         extras["n_pip_points"] = n_pip_pts
         extras["n_pip_pairs"] = int(n_pairs)
         extras["joined_rows_per_sec"] = round(n_pairs / dt, 1)
+        if reps > 1:
+            extras["pip_join_reps"] = [round(t, 2) for t in pip_runs]
 
     # --- tile_assign: relational multizoom ---
     if want("tile_assign"):

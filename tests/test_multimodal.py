@@ -58,3 +58,21 @@ def test_embed_and_ann(spark, media):
     q = emb.filter("vec_id % 40 = 0")
     nn = knn_embeddings(q, emb, k=3)
     assert nn.count() == q.count() * 3
+
+
+def test_ivf_ann_recall_and_determinism(spark, media):
+    from tile_gen_spark.operators.knn import knn_embeddings, knn_embeddings_ivf
+    emb = M.embed_media(media, dim=16).withColumnRenamed("media_id", "vec_id").cache()
+    q = emb.filter("vec_id % 20 = 0")
+    exact = knn_embeddings(q, emb, k=3).select("query_id", "neighbor_id")
+    a1 = knn_embeddings_ivf(q, emb, k=3, n_centroids=16, nprobe=6)
+    a2 = knn_embeddings_ivf(q, emb, k=3, n_centroids=16, nprobe=6)
+    # deterministic (hash-seeded sample/init, fixed Lloyd iterations)
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+    got = a1.select("query_id", "neighbor_id")
+    recall = got.intersect(exact).count() / exact.count()
+    assert recall >= 0.6, recall
+    # probing everything == exact (the approximation is ONLY the probe cut)
+    full = knn_embeddings_ivf(q, emb, k=3, n_centroids=16, nprobe=16).select(
+        "query_id", "neighbor_id")
+    assert full.exceptAll(exact).count() == 0 and exact.exceptAll(full).count() == 0

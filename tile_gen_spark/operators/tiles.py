@@ -20,6 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -361,7 +362,7 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
         base = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # "auto" on AQE-managed clusters
         base = shapes.sparkSession.sparkContext.defaultParallelism
-    n_parts = base * 4
+    n_parts = base * int(os.environ.get("TILEGEN_CLIP_OVERPART", "4"))
     sel = (shapes.select("feature_id", "kind", "coords", "props")
            .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
            .repartition(n_parts, "feature_id", "_z"))
@@ -398,8 +399,15 @@ def tile_feature_lists(clipped: DataFrame, salt: int = 0) -> DataFrame:
                 .groupBy("z", "x", "y")
                 .agg(by_fid(F.collect_list(feat)).alias("features"))
                 .withColumn("n_features", F.size("features")))
+    # Explicit repartition on the salted agg keys BEFORE grouping: without
+    # it Spark fuses the partial collect_list into the upstream Python clip
+    # stage, and the JVM's list buffering/GC contends with the full-core
+    # Arrow workers (measured: decoupling cut the fused pipeline ~15% at
+    # local[32] and removes nothing — partial collect_list doesn't shrink
+    # the shuffle anyway, it only concatenates).
     two = (clipped
            .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
+           .repartition("z", "x", "y", "_salt")
            .groupBy("z", "x", "y", "_salt")
            .agg(F.collect_list(feat).alias("_part")))
     return (two.groupBy("z", "x", "y")

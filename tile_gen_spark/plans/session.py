@@ -37,4 +37,12 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # Local-mode shuffle files on tmpfs when available: all N threads share
+    # ONE disk in local mode, which serializes shuffle-heavy stages — an
+    # artifact a real cluster (per-node SSDs scaling with node count) does
+    # not have. Honors SPARK_LOCAL_DIRS / an existing spark.local.dir first.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shm = os.path.join("/dev/shm", "spark-local")
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     return b.getOrCreate()

@@ -2,9 +2,10 @@
 parallelism levels standing in for N and 4N executors (driver instruction —
 no real cluster in this sandbox).
 
-Runs bench.py (tile_pipeline + pip_join, the BASELINE.json:2 metrics) as a
-fresh subprocess per run at SPARK_GRAFT_CPUS=8 and 32, ≥3 reps each (first
-run additionally warms the corpus cache on disk), reports medians and
+Runs bench.py (tile_pipeline + pip_join, the BASELINE.json:2 metrics) as one
+pinned subprocess per config (SPARK_GRAFT_CPUS=8 and 32); each process runs
+BENCH_REPS timed in-process repetitions after a discarded full-size warm pass
+(C2 JIT) and reports its median. Then
   scaling_efficiency = (throughput@32 / throughput@8) / 4
 into BENCH/BASELINE.md. Target ≥ 0.8 (BASELINE.json:2,14).
 """
@@ -29,6 +30,7 @@ def run_once(cpus: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR,
                BENCH_PAGES=PAGES,
+               BENCH_REPS=str(REPS),
                BENCH_ONLY="pip_join")
     # taskset pins the WHOLE process tree (JVM + forked Python workers) to
     # `cpus` physical cores — without it, local[8]'s Python workers spill onto
@@ -43,12 +45,14 @@ def run_once(cpus: int) -> dict:
 
 
 def main() -> None:
+    # Reps run IN-PROCESS (BENCH_REPS): one JVM per config executes
+    # (REPS + 1) full-size passes, discards the first (C2 JIT needs a full
+    # pass), and reports its own median — steadier and ~2x cheaper than
+    # process-level reps, whose every rep re-paid JIT warm-in.
     results: dict[int, list[dict]] = {8: [], 32: []}
     t_start = time.time()
-    run_once(32)  # discard: warms the on-disk corpus + parquet cache
-    for _ in range(REPS):  # interleave so both configs see equal cache state
-        results[8].append(run_once(8))
-        results[32].append(run_once(32))
+    results[8].append(run_once(8))
+    results[32].append(run_once(32))
 
     def med(cpus: int, key, default=0.0):
         vals = []
@@ -68,20 +72,21 @@ def main() -> None:
     jr32 = med(32, "joined_rows_per_sec")
     eff_join = (jr32 / jr8) / 4.0 if jr8 else 0.0
 
-    report = f"""# BENCH — measured results (round 1)
+    report = f"""# BENCH — measured results (latest protocol run)
 
 Machine: 32 cores, Spark 4.1.2 local mode, Python 3.11.7, Arrow enabled.
 Input: deterministic synthetic corpus, {PAGES} pages (seed 42), zoom 0–12;
 points/zones derived from {SF_DIR}. Protocol: BASELINE.md (same input, two
-parallelism levels standing in for N and 4N executors; {REPS} timed reps,
-median; warm-up run discarded).
+parallelism levels standing in for N and 4N executors; {REPS} timed in-process
+reps, median; full-size warm-up pass discarded per config — see BASELINE.md
+"Local-mode artifacts controlled for").
 
 ## Tile pipeline (pages → extract → parse → assign z0–12 → clip → per-tile lists)
 
 | config | tiles/sec (median) | pipeline sec | reps |
 |---|---|---|---|
-| local[8]  (N)  | {tput8:.1f} | {med(8, 'queries.tile_pipeline'):.1f} | {REPS} |
-| local[32] (4N) | {tput32:.1f} | {med(32, 'queries.tile_pipeline'):.1f} | {REPS} |
+| local[8]  (N)  | {tput8:.1f} | {med(8, 'queries.tile_pipeline'):.1f} | {REPS} in-process |
+| local[32] (4N) | {tput32:.1f} | {med(32, 'queries.tile_pipeline'):.1f} | {REPS} in-process |
 
 **Scaling efficiency (tiles/sec): {eff:.3f}** (target ≥ 0.8)
 
