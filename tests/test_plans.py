@@ -94,3 +94,38 @@ def test_broadcast_dim_join_autodetected(spark, tmp_path):
     small.write.parquet(sp)
     j = big.join(spark.read.parquet(sp), "k")
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_bbox_filter_pushdown(spark, tmp_path):
+    """P3: the standalone bbox predicate must reach the parquet scan as
+    four pushed range filters on lon/lat (row-group min/max pruning at
+    100 TB) and survive column pruning."""
+    from tile_gen_spark.operators.spatial_join import bbox_filter
+    p = str(tmp_path / "pts")
+    spark.range(1000).select(
+        F.col("id").alias("point_id"),
+        (F.pmod(F.hash("id"), F.lit(340000000)) / 1000000.0 - 170.0).alias("lon"),
+        (F.pmod(F.hash("id"), F.lit(140000000)) / 1000000.0 - 70.0).alias("lat"),
+        F.lit("payload").alias("extra")).write.parquet(p)
+    df = bbox_filter(spark.read.parquet(p), -10.0, -20.0, 30.0, 40.0).select(
+        "point_id", "lon", "lat")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(lon,-10\.0\)", plan)
+    assert re.search(r"LessThanOrEqual\(lon,30\.0\)", plan)
+    assert re.search(r"GreaterThanOrEqual\(lat,-20\.0\)", plan)
+    assert re.search(r"LessThanOrEqual\(lat,40\.0\)", plan)
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "extra" not in m.group(1)
+
+
+def test_zoom_filter_pushdown(spark, tmp_path):
+    """P3 companion: zoom predicate prunes partitionBy(z) directories —
+    the scan's partition filters must carry the z range."""
+    from tile_gen_spark.operators.spatial_join import zoom_filter
+    p = str(tmp_path / "tiles")
+    spark.range(2000).select(
+        (F.col("id") % 13).cast("int").alias("z"), F.col("id").alias("x"),
+        (F.col("id") % 37).alias("y")).write.partitionBy("z").parquet(p)
+    df = zoom_filter(spark.read.parquet(p), 3, 5)
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[.*\(z#\d+ >= 3\).*\(z#\d+ <= 5\)", plan)

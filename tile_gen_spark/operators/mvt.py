@@ -61,14 +61,19 @@ def _encode_value(v) -> bytes:
     """MVT 2.1 Value message with typed fields (§4.4): bool → bool_value(7),
     int → int_value(4), float → double_value(3), else string_value(1).
     Round-1 stored everything as strings — conformant but lossy for typed
-    property consumers."""
-    if isinstance(v, bool):
+    property consumers.
+
+    Dispatch uses numbers.Integral/Real (not builtin int/float) so numpy
+    scalars — np.int64/np.float64, the usual dtypes once props flow through a
+    pandas batch — encode as typed values instead of degrading to strings."""
+    import numbers
+    if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
         return _field(7, 0) + _varint(1 if v else 0)
-    if isinstance(v, int):
-        return _field(4, 0) + _varint(v & ((1 << 64) - 1))
-    if isinstance(v, float):
+    if isinstance(v, numbers.Integral):
+        return _field(4, 0) + _varint(int(v) & ((1 << 64) - 1))
+    if isinstance(v, numbers.Real):
         import struct
-        return _field(3, 0) + struct.pack("<d", v)
+        return _field(3, 0) + struct.pack("<d", float(v))
     return _len_field(1, str(v).encode())
 
 
@@ -78,8 +83,17 @@ def decode_value(buf: bytes):
     tag = buf[0]
     fno, wire = tag >> 3, tag & 7
     if fno == 1:
-        ln = buf[1]
-        return buf[2:2 + ln].decode()
+        # proper varint length (strings ≥ 128 bytes span multiple length bytes)
+        ln = shift = 0
+        i = 1
+        while True:
+            b = buf[i]
+            ln |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                break
+            shift += 7
+        return buf[i:i + ln].decode()
     if fno == 3:
         return struct.unpack("<d", buf[1:9])[0]
     if fno == 7:
@@ -121,9 +135,33 @@ def _geometry_commands(kind: str, pieces: list[list[int]]) -> list[int]:
     return cmds
 
 
+def _norm_value(v):
+    """Canonicalize numpy scalars to python scalars so 1 (int) and
+    np.int64(1) dedupe to ONE Value entry (they encode identically)."""
+    import numbers
+    if type(v).__name__ == "bool_":
+        return bool(v)
+    if isinstance(v, bool) or not isinstance(v, numbers.Number):
+        return v
+    if isinstance(v, numbers.Integral):
+        return int(v)
+    return float(v)
+
+
 def encode_tile(features: list[dict], layer_name: str = "features",
-                extent: int = 4096) -> bytes:
-    """One tile's feature list → MVT bytes."""
+                extent: int = 4096, split_layers: bool = False) -> bytes:
+    """One tile's feature list → MVT bytes.
+
+    ``split_layers=True`` emits one Layer message per geometry kind
+    (``<layer_name>_point`` / ``_line`` / ``_polygon``), the conventional
+    producer layout; default stays single-layer for compatibility."""
+    if split_layers:
+        out = b""
+        for kind in ("point", "line", "polygon"):
+            fl = [f for f in features if f["kind"] == kind]
+            if fl:
+                out += encode_tile(fl, f"{layer_name}_{kind}", extent)
+        return out
     keys: list[str] = []
     values: list = []
     kidx: dict[str, int] = {}
@@ -134,7 +172,7 @@ def encode_tile(features: list[dict], layer_name: str = "features",
         tags: list[int] = []
         props = f.get("props") or {}
         for k in sorted(props):
-            v = props[k]
+            v = _norm_value(props[k])
             vk = (type(v).__name__, v)  # 1 and True dedupe separately
             if k not in kidx:
                 kidx[k] = len(keys)
@@ -253,9 +291,11 @@ def decode_geometry(cmds: list[int]) -> list[list[tuple[int, int]]]:
         i += 1
         cmd, cnt = c & 7, c >> 3
         if cmd == 1:  # MoveTo
-            if cur:
-                rings.append(cur)
+            # count > 1 is a multipoint: each MoveTo starts a new path, so
+            # flush the running path every iteration, not just the first
             for _ in range(cnt):
+                if cur:
+                    rings.append(cur)
                 cx += unzig(cmds[i])
                 cy += unzig(cmds[i + 1])
                 i += 2
@@ -274,8 +314,12 @@ def decode_geometry(cmds: list[int]) -> list[list[tuple[int, int]]]:
     return rings
 
 
-def encode_tiles(tile_features: DataFrame, layer_name: str = "features") -> DataFrame:
-    """tile_features(z,x,y,features) → (z,x,y,n_features,mvt binary)."""
+def encode_tiles(tile_features: DataFrame, layer_name: str = "features",
+                 split_layers: bool = False) -> DataFrame:
+    """tile_features(z,x,y,features) → (z,x,y,n_features,mvt binary).
+
+    ``split_layers=True``: one MVT layer per geometry kind (point/line/
+    polygon) instead of a single combined layer."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -284,7 +328,7 @@ def encode_tiles(tile_features: DataFrame, layer_name: str = "features") -> Data
                 fl = [{"feature_id": f["feature_id"], "kind": f["kind"],
                        "geom": [list(p) for p in f["geom"]], "props": dict(f["props"] or {})}
                       for f in feats]
-                mvt.append(encode_tile(fl, layer_name))
+                mvt.append(encode_tile(fl, layer_name, split_layers=split_layers))
             yield pd.DataFrame({
                 "z": b["z"], "x": b["x"], "y": b["y"],
                 "n_features": b["n_features"],

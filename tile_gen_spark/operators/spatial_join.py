@@ -41,6 +41,29 @@ ZONE_QK_SCHEMA = ("zone_id bigint, qb bigint, bminx double, bmaxx double, "
 _BBOX_EPS = 1e-9
 
 
+def bbox_filter(df: DataFrame, west: float, south: float, east: float,
+                north: float, lon_col: str = "lon",
+                lat_col: str = "lat") -> DataFrame:
+    """P3 (SURVEY.md §2.2): standalone bbox predicate over lon/lat columns.
+
+    Plain column comparisons so Catalyst pushes them into the source scan
+    (``PushedFilters: GreaterThanOrEqual(lon,…), LessThanOrEqual(lat,…)`` on
+    parquet — asserted by tests/test_plans.py) and prunes min/max row groups:
+    at 100 TB a region query reads only the row groups whose stats intersect
+    the box. Used as the pip/knn prelude to restrict the corpus to a region.
+    """
+    return df.filter(
+        (F.col(lon_col) >= float(west)) & (F.col(lon_col) <= float(east))
+        & (F.col(lat_col) >= float(south)) & (F.col(lat_col) <= float(north)))
+
+
+def zoom_filter(df: DataFrame, min_z: int, max_z: int,
+                z_col: str = "z") -> DataFrame:
+    """P3 companion: zoom-range predicate over a tile/z column (pushdown-able
+    same as bbox_filter; prunes partitionBy(z) sink directories entirely)."""
+    return df.filter((F.col(z_col) >= int(min_z)) & (F.col(z_col) <= int(max_z)))
+
+
 def points_with_quadkey(points: DataFrame, res: int,
                         lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Relational quadkey at resolution ``res`` (G2 + G4, pure Spark SQL)."""
@@ -213,12 +236,25 @@ def pip_refine_indexed(candidates: DataFrame, zones: DataFrame) -> DataFrame:
 
 
 def pip_join(points: DataFrame, zones: DataFrame, res: int = 6,
-             broadcast_zones: bool = True) -> DataFrame:
+             broadcast_zones: bool = True,
+             refine: str = "relational",
+             bbox: tuple[float, float, float, float] | None = None) -> DataFrame:
     """points(point_id, lon, lat) ⨝ zones(zone_id, ring) → exact PIP pairs.
 
     Returns (point_id, zone_id, lon, lat). THE join-output correctness
     artifact (``BASELINE.json:6`` "join output rows ... exactly").
+
+    ``refine`` (broadcast path only): ``"relational"`` (default — zero-Python
+    per-edge codegen + map-side parity agg) or ``"indexed"`` (rings held in
+    the task closure, one vectorized ray-cast per ring-length group per Arrow
+    batch — wins when zones have MANY vertices, where the exploded per-edge
+    join row count becomes the cost driver).
+
+    ``bbox=(west, south, east, north)``: region prelude — bbox_filter the
+    point side BEFORE bucketing, so the predicate reaches the parquet scan.
     """
+    if bbox is not None:
+        points = bbox_filter(points, *bbox)
     pts = points_with_bucket(points.select("point_id", "lon", "lat"), res)
     zqk = zones_covering_quadkeys(zones, res)
     # zone-bbox prefilter folded into the join condition: whole-stage-codegen
@@ -235,6 +271,8 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int = 6,
     if broadcast_zones:
         cand = (pts.join(F.broadcast(zqk), "qb", "inner").filter(bbox)
                 .select("point_id", "zone_id", "lon", "lat"))
+        if refine == "indexed":
+            return pip_refine_indexed(cand, zones)
         return pip_refine_relational(cand, zones)
     # zone set too big for a driver-held ring index: shuffle equi-join on the
     # bucket, ring shipped per surviving candidate, per-batch kernel refine

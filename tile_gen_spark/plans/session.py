@@ -40,9 +40,24 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
     # Local-mode shuffle files on tmpfs when available: all N threads share
     # ONE disk in local mode, which serializes shuffle-heavy stages — an
     # artifact a real cluster (per-node SSDs scaling with node count) does
-    # not have. Honors SPARK_LOCAL_DIRS / an existing spark.local.dir first.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
-        shm = os.path.join("/dev/shm", "spark-local")
-        os.makedirs(shm, exist_ok=True)
-        b = b.config("spark.local.dir", shm)
+    # not have. Honored first: SPARK_LOCAL_DIRS, an explicit spark.local.dir
+    # (via SPARK_GRAFT_LOCAL_DIR or spark-defaults), or the opt-out
+    # SPARK_GRAFT_NO_SHM=1. tmpfs competes with the JVM heap for RAM, so the
+    # override is also skipped when /dev/shm has < 8 GiB free (large spills
+    # that would fit on disk must not fail on a full tmpfs).
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        b = b.config("spark.local.dir", explicit)
+    elif ("SPARK_LOCAL_DIRS" not in os.environ
+          and os.environ.get("SPARK_GRAFT_NO_SHM") != "1"
+          and os.path.isdir("/dev/shm")):
+        try:
+            st = os.statvfs("/dev/shm")
+            shm_free = st.f_bavail * st.f_frsize
+        except OSError:
+            shm_free = 0
+        if shm_free >= 8 << 30:
+            shm = os.path.join("/dev/shm", "spark-local")
+            os.makedirs(shm, exist_ok=True)
+            b = b.config("spark.local.dir", shm)
     return b.getOrCreate()
