@@ -4,7 +4,10 @@ Prints ONE JSON line:
   {"metric": "tiles_per_sec_z0_12", "value": N, "unit": "tiles/sec",
    "queries": {name: sec, ...}, "sf": 0.1, ...extras}
 
-Headline queries:
+Headline sections (each runs in its OWN subprocess with a fresh JVM —
+cross-section contamination, VERDICT r2: knn_embeddings went 1.36 s → 5.04 s
+with identical code because the 256M-point pip section ran in the same
+heap immediately before it):
   tile_pipeline   — synthetic pages corpus → extract → parse geo → assign
                     z0..12 → clip → per-tile MVT-equivalent lists (the
                     ``BASELINE.json:2`` metric: tiles/sec)
@@ -13,14 +16,26 @@ Headline queries:
   knn_embeddings  — exact cosine top-k over the embeddings table
   dedup_minhash   — MinHash-LSH candidate pairs over documents
 
-The synthetic corpus is generated once (deterministic, seed=42) into /tmp and
-reused; the bench times the engine, not the generator.
+Every section reports a ``<name>_reps`` array (BENCH_REPS timed in-process
+repetitions, median recorded) so round-over-round deltas are signal, not
+single-sample noise. Big sections discard WARM full-size passes first (C2
+JIT needs ~2 full passes to compile the big codegen stages — measured
+19s → 7s on the pip probe, 181s → 132s on the pipeline).
+
+Env knobs: BENCH_REPS (timed reps, default 3), BENCH_ONLY (comma list of
+sections), BENCH_PAGES, BENCH_PIP_POINTS, SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS. BENCH_SECTION is internal (single-section child mode).
+
+The synthetic corpus is generated once (deterministic, seed=42) into /tmp
+and reused; the bench times the engine, not the generator.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -29,7 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_PAGES", "400000"))
+REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
 ZOOMS = list(range(0, 13))
+SECTIONS = ["tile_pipeline", "pip_join", "tile_assign", "knn_embeddings",
+            "dedup_minhash"]
 
 
 def _sf() -> float:
@@ -42,59 +60,59 @@ def _pages_path() -> str:
     return f"/tmp/tilegen_bench_pages_n{N_PAGES}"
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
-
-    from tile_gen_spark.plans.session import get_spark
-    from tile_gen_spark.sources.synth import gen_pages, gen_zones
-    from tile_gen_spark.sources.testdata import register_views
-    from tile_gen_spark.operators.extract import (extract_and_parse,
-                                                  latest_per_url, validity_filter)
-    from tile_gen_spark.operators.tiles import build_tile_features
-    from tile_gen_spark.operators.spatial_join import pip_join
-    from tile_gen_spark.operators.knn import knn_embeddings
-    from tile_gen_spark.operators.textops import minhash_lsh_pairs
-    import __spark_entry__ as E
-    from tile_gen_spark.plans import sqlgen as S
-
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
-    register_views(spark, SF_DIR)
-
+def _ensure_pages(spark) -> str:
+    from tile_gen_spark.sources.synth import gen_pages
     pages_path = _pages_path()
     if not os.path.exists(pages_path):
         gen_pages(spark, N_PAGES, seed=42, parallelism=CPUS * 2).write.mode(
             "overwrite").parquet(pages_path)
+    return pages_path
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    only = set(os.environ.get("BENCH_ONLY", "").split(",")) - {""}
 
-    def want(name: str) -> bool:
-        return not only or name in only
+def _session():
+    from tile_gen_spark.plans.session import get_spark
+    from tile_gen_spark.sources.testdata import register_views
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS * 2)
+    register_views(spark, SF_DIR)
+    return spark
 
-    # warm-up, untimed (protocol: BASELINE.md "warm-up run discarded"): run
-    # the full pipeline DAG on a tiny slice — forks the Python worker pool
-    # (~5s cold start at 32 workers, measured), compiles the codegen'd stages,
-    # and initializes the shuffle machinery
-    spark.sql("SELECT count(*) FROM lineitem").collect()
-    # full input scan: puts the corpus parquet in page cache so the timed
-    # section measures compute, not cold-disk order effects between runs
+
+def _reps(fn, n_discard: int, n_timed: int) -> list[float]:
+    """Run fn (one full-size pass) n_discard untimed + n_timed timed times."""
+    for _ in range(n_discard):
+        fn()
+    out = []
+    for _ in range(n_timed):
+        t0 = time.time()
+        fn()
+        out.append(round(time.time() - t0, 2))
+    return out
+
+
+# --- sections (child-process mode) ---------------------------------------
+
+def sec_tile_pipeline() -> dict:
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.extract import (extract_and_parse,
+                                                  latest_per_url,
+                                                  validity_filter)
+    from tile_gen_spark.operators.tiles import build_tile_features
+
+    spark = _session()
+    pages_path = _ensure_pages(spark)
+    # warm-up, untimed: fork the Python worker pool, compile codegen, put the
+    # corpus parquet in page cache (timed section measures compute, not
+    # cold-disk order effects)
     spark.read.parquet(pages_path).count()
     warm = spark.read.parquet(pages_path).limit(2000)
     build_tile_features(
         validity_filter(extract_and_parse(latest_per_url(warm))),
         ZOOMS, salt=8).count()
 
-    # --- tile_pipeline: the headline tiles/sec metric ---
-    # BENCH_REPS > 1: run (reps + 1) full-size passes in-process, discard the
-    # first (C2 JIT fully compiles the big codegen stages only after a full
-    # pass — measured 1.3-2x on the first), report the median. Default 1
-    # (single timed run, driver contract).
-    reps = max(1, int(os.environ.get("BENCH_REPS", "1")))
-    import statistics
+    state: dict = {}
 
-    def run_pipeline():
-        t0 = time.time()
+    def run():
         pages = spark.read.parquet(pages_path)
         latest = latest_per_url(pages)
         # persist: the point and shape paths both branch from `feats`, and
@@ -102,88 +120,144 @@ def main() -> None:
         feats = validity_filter(extract_and_parse(latest)).persist()
         tiles = build_tile_features(feats, ZOOMS, salt=8)
         nt, nf = tiles.select(F.count("*"), F.sum("n_features")).first()
-        dt = time.time() - t0
-        feats.unpersist()  # free executor memory before the next section
-        return dt, int(nt), int(nf)
+        feats.unpersist()
+        state["n_tiles"], state["n_feat"] = int(nt), int(nf)
 
-    runs = [run_pipeline() for _ in range(reps + 1 if reps > 1 else 1)]
-    timed = runs[1:] if reps > 1 else runs
-    dt = statistics.median(r[0] for r in timed)
-    n_tiles, n_feat_rows = timed[-1][1], timed[-1][2]
-    timings["tile_pipeline"] = round(dt, 2)
-    tiles_per_sec = n_tiles / dt
-    extras["n_tiles"] = n_tiles
-    extras["n_tile_feature_rows"] = n_feat_rows
-    if reps > 1:
-        extras["tile_pipeline_reps"] = [round(r[0], 2) for r in runs]
+    # TWO discarded full passes: C2 fully compiles the big codegen stages
+    # only after ~2 full-size passes (r2 reps [181, 132, 134] showed the
+    # first timed rep still JIT-warming with a single discard)
+    reps = _reps(run, n_discard=2 if REPS > 1 else 1, n_timed=REPS)
+    dt = statistics.median(reps)
+    out = {
+        "queries": {"tile_pipeline": dt},
+        "tile_pipeline_reps": reps,
+        "n_tiles": state["n_tiles"],
+        "n_tile_feature_rows": state["n_feat"],
+        "tiles_per_sec": round(state["n_tiles"] / dt, 1),
+    }
+    spark.stop()
+    return out
 
-    # --- pip_join: joined rows/sec ---
+
+def sec_pip_join() -> dict:
+    from pyspark.sql import functions as F
+    from tile_gen_spark.sources.synth import gen_zones
+    from tile_gen_spark.operators.spatial_join import pip_join
+    from tile_gen_spark.plans import sqlgen as S
+
+    spark = _session()
     # Synthetic relational point set + many small zones: every stage of the
     # join (zone gen/covering python, point trig+probe, edge-agg refine)
     # parallelizes, so the N→4N criterion measures the JOIN, not fixed
     # setup. Round 1 used the 457k-point lineitem CTE — the whole join was
     # latency-bound at ~31 s regardless of cores (VERDICT r1).
-    if want("pip_join"):
-        n_pip_pts = int(os.environ.get("BENCH_PIP_POINTS", "256000000"))
-        pts = spark.range(n_pip_pts).select(
-            F.col("id").alias("point_id"),
-            F.expr(S.pt_lon("id")).alias("lon"),
-            F.expr(S.pt_lat("id")).alias("lat"))
-        # zones are INPUT data: materialized before the timed section
-        zones = gen_zones(spark, 20000, seed=1, radius_scale=0.1,
-                          nv_extra=40).cache()
-        zones.count()
-        q = pip_join(pts, zones, res=10)
-        q.count()
-        q.count()  # two discarded warm runs: C2 fully compiles the probe +
-        # refine codegen only after ~2 full-size passes (measured 19s → 7s)
-        pip_runs = []
-        for _ in range(reps):
-            t0 = time.time()
-            n_pairs = q.count()
-            pip_runs.append(time.time() - t0)
-        dt = statistics.median(pip_runs)
-        zones.unpersist()
-        timings["pip_join"] = round(dt, 2)
-        extras["n_pip_points"] = n_pip_pts
-        extras["n_pip_pairs"] = int(n_pairs)
-        extras["joined_rows_per_sec"] = round(n_pairs / dt, 1)
-        if reps > 1:
-            extras["pip_join_reps"] = [round(t, 2) for t in pip_runs]
+    n_pip_pts = int(os.environ.get("BENCH_PIP_POINTS", "256000000"))
+    pts = spark.range(n_pip_pts).select(
+        F.col("id").alias("point_id"),
+        F.expr(S.pt_lon("id")).alias("lon"),
+        F.expr(S.pt_lat("id")).alias("lat"))
+    # zones are INPUT data: materialized before the timed section
+    zones = gen_zones(spark, 20000, seed=1, radius_scale=0.1,
+                      nv_extra=40).cache()
+    zones.count()
+    q = pip_join(pts, zones, res=10)
+    state: dict = {}
 
-    # --- tile_assign: relational multizoom ---
-    if want("tile_assign"):
-        t0 = time.time()
-        spark.sql(E.q_tile_assign_multizoom(S.SPARK)).collect()
-        timings["tile_assign"] = round(time.time() - t0, 2)
+    def run():
+        state["n_pairs"] = q.count()
 
-    # --- knn_embeddings ---
-    if want("knn_embeddings"):
-        t0 = time.time()
-        emb = spark.table("embeddings")
-        knn_embeddings(emb, emb, k=5).count()
-        timings["knn_embeddings"] = round(time.time() - t0, 2)
+    reps = _reps(run, n_discard=2, n_timed=REPS)
+    dt = statistics.median(reps)
+    out = {
+        "queries": {"pip_join": dt},
+        "pip_join_reps": reps,
+        "n_pip_points": n_pip_pts,
+        "n_pip_pairs": int(state["n_pairs"]),
+        "joined_rows_per_sec": round(state["n_pairs"] / dt, 1),
+    }
+    spark.stop()
+    return out
 
-    # --- dedup_minhash ---
-    if want("dedup_minhash"):
-        t0 = time.time()
-        docs = spark.table("documents")
-        minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
-        timings["dedup_minhash"] = round(time.time() - t0, 2)
 
-    total = round(sum(timings.values()), 2)
+def sec_tile_assign() -> dict:
+    import __spark_entry__ as E
+    from tile_gen_spark.plans import sqlgen as S
+
+    spark = _session()
+    sql = E.q_tile_assign_multizoom(S.SPARK)
+    reps = _reps(lambda: spark.sql(sql).collect(), n_discard=1, n_timed=REPS)
+    spark.stop()
+    return {"queries": {"tile_assign": statistics.median(reps)},
+            "tile_assign_reps": reps}
+
+
+def sec_knn_embeddings() -> dict:
+    from tile_gen_spark.operators.knn import knn_embeddings
+
+    spark = _session()
+    emb = spark.table("embeddings")
+    reps = _reps(lambda: knn_embeddings(emb, emb, k=5).count(),
+                 n_discard=1, n_timed=REPS)
+    spark.stop()
+    return {"queries": {"knn_embeddings": statistics.median(reps)},
+            "knn_embeddings_reps": reps}
+
+
+def sec_dedup_minhash() -> dict:
+    from tile_gen_spark.operators.textops import minhash_lsh_pairs
+
+    spark = _session()
+    docs = spark.table("documents")
+    reps = _reps(lambda: minhash_lsh_pairs(docs, num_hashes=16, bands=4).count(),
+                 n_discard=1, n_timed=REPS)
+    spark.stop()
+    return {"queries": {"dedup_minhash": statistics.median(reps)},
+            "dedup_minhash_reps": reps}
+
+
+# --- orchestrator ----------------------------------------------------------
+
+def main() -> None:
+    section = os.environ.get("BENCH_SECTION")
+    if section:
+        out = globals()[f"sec_{section}"]()
+        print("BENCH_SECTION_RESULT " + json.dumps(out))
+        return
+
+    only = set(os.environ.get("BENCH_ONLY", "").split(",")) - {""}
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    for name in SECTIONS:
+        if only and name not in only:
+            continue
+        env = dict(os.environ, BENCH_SECTION=name)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=7200)
+        lines = [l for l in r.stdout.splitlines()
+                 if l.startswith("BENCH_SECTION_RESULT ")]
+        if not lines:
+            sys.stderr.write(f"[bench] section {name} FAILED:\n"
+                             + r.stdout[-2000:] + r.stderr[-4000:])
+            continue
+        part = json.loads(lines[-1].split(" ", 1)[1])
+        queries.update({k: round(v, 2) for k, v in part.pop("queries").items()})
+        extras.update(part)
+
+    total = round(sum(queries.values()), 2)
     print(json.dumps({
         "metric": "tiles_per_sec_z0_12",
-        "value": round(tiles_per_sec, 1),
+        "value": extras.get("tiles_per_sec", 0.0),
         "unit": "tiles/sec",
-        "queries": timings,
+        "queries": queries,
         "sf": _sf(),
         "total_sec": total,
         "cpus": CPUS,
         "n_pages": N_PAGES,
-        **extras,
+        "reps": REPS,
+        "isolated_sections": True,
+        **{k: v for k, v in extras.items() if k != "tiles_per_sec"},
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

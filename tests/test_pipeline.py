@@ -412,3 +412,41 @@ def test_ann_recall_floors(spark):
     ivf = E._run_ann_ivf(spark, sf).first()
     assert lsh["recall_ok"], f"LSH recall {lsh['recall_pct']} < {E.ANN_LSH_RECALL_FLOOR}"
     assert ivf["recall_ok"], f"IVF recall {ivf['recall_pct']} < {E.ANN_IVF_RECALL_FLOOR}"
+
+
+def test_clip_shapes_fastpath_parity(spark, features):
+    """r3 vectorized single-tile fast path == the per-row reference loop
+    (TILEGEN_FASTPATH=0), row-for-row over the synthetic corpus at z0-12 —
+    donuts, multi-tile polygons, lines, quantize-degenerate rings included."""
+    import os
+    from tile_gen_spark.operators.tiles import clip_shapes_direct
+
+    shp = features.filter(F.col("kind") != "point").cache()
+    zooms = list(range(0, 13))
+
+    def canon(df):
+        out = set()
+        for r in df.collect():
+            geom = tuple(tuple(p) for p in r["geom"])
+            props = tuple(sorted((r["props"] or {}).items()))
+            out.add((r["z"], r["x"], r["y"], r["feature_id"], r["kind"],
+                     geom, props))
+        return out
+
+    old_env = os.environ.get("TILEGEN_FASTPATH")
+    try:
+        os.environ["TILEGEN_FASTPATH"] = "0"
+        ref = canon(clip_shapes_direct(shp, zooms))
+        os.environ["TILEGEN_FASTPATH"] = "1"
+        new = canon(clip_shapes_direct(shp, zooms))
+    finally:
+        if old_env is None:
+            os.environ.pop("TILEGEN_FASTPATH", None)
+        else:
+            os.environ["TILEGEN_FASTPATH"] = old_env
+    assert len(ref) > 1000
+    missing = ref - new
+    extra = new - ref
+    assert not missing and not extra, (
+        f"fastpath diverged: {len(missing)} missing, {len(extra)} extra; "
+        f"sample missing={list(missing)[:2]}, extra={list(extra)[:2]}")

@@ -155,7 +155,13 @@ def _parse_span(m) -> tuple[str, list[list[float]]] | None:
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
-    """J5: latest-snapshot dedup — one row per url, max warc_ts (window)."""
+    """J5: latest-snapshot dedup — one row per url, max warc_ts (window).
+
+    Left on AQE-managed partitioning deliberately: an explicit
+    repartition(n, url) before the window was measured 15× SLOWER at
+    local[32] (19.6 s vs 1.3 s — GC-bound small-partition sort + per-task
+    Python worker round-trips downstream); the coalesced exchange's fewer,
+    larger partitions win for this payload-heavy, cheap-per-row stage."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("html")))

@@ -265,12 +265,189 @@ def clip_points_relational(points: DataFrame, zooms: list[int],
                     F.array(F.array("t.qx", "t.qy")).alias("geom"), "props"))
 
 
+def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
+    """Vectorized single-tile clip: every (feature, z) unit in this batch is
+    guaranteed (by the relational corner-tile split in clip_shapes_direct) to
+    fit in ONE tile at z, so the clip is the identity and the whole batch
+    reduces to quantize + dedupe + winding — computed with numpy over ONE
+    flat vertex array instead of per-row kernel calls (the r2 profile showed
+    ~0.38 ms/row of per-call overhead; this path amortizes it to ~µs/row).
+
+    Input columns: feature_id, kind, coords, props, _zs (array<int> of the
+    feature's single-tile zooms). Semantics identical to the per-row loop
+    (quantize_to_tile → dedupe_consecutive → closing-vertex strip →
+    degenerate-ring drop → MVT winding), verified by the parity pytest.
+    """
+    n_feat = len(b)
+    empty = pd.DataFrame({
+        "z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int64"),
+        "y": pd.Series([], dtype="int64"),
+        "feature_id": pd.Series([], dtype="int64"),
+        "kind": pd.Series([], dtype="string"),
+        "geom": pd.Series([], dtype=object),
+        "props": pd.Series([], dtype=object)})
+    if n_feat == 0:
+        return empty
+
+    # --- flatten: rings → one (V, 2) vertex array + offset tables ---------
+    ring_list: list[np.ndarray] = []
+    ring_len_l: list[int] = []
+    feat_ring_count = np.empty(n_feat, np.int64)
+    for i, coords in enumerate(b["coords"]):
+        feat_ring_count[i] = len(coords)
+        for c in coords:
+            a = np.asarray(c, dtype=np.float64)
+            ring_list.append(a)
+            ring_len_l.append(a.size // 2)
+    ring_len = np.asarray(ring_len_l, np.int64)
+    verts = np.concatenate(ring_list).reshape(-1, 2) if ring_list else np.zeros((0, 2))
+    ring_start = np.cumsum(ring_len) - ring_len
+    feat_first_ring = np.concatenate([[0], np.cumsum(feat_ring_count)])
+
+    # --- units (feature × zoom) and instances (unit × ring) ---------------
+    zs_list = [np.asarray(z, np.int64) for z in b["_zs"]]
+    m = np.asarray([z.size for z in zs_list], np.int64)
+    unit_feat = np.repeat(np.arange(n_feat), m)
+    n_unit = unit_feat.size
+    if n_unit == 0:
+        return empty
+    unit_z = np.concatenate(zs_list)
+    inst_per_unit = feat_ring_count[unit_feat]
+    inst_unit = np.repeat(np.arange(n_unit), inst_per_unit)
+    tot_inst = inst_unit.size
+    ring_ord = np.arange(tot_inst) - np.repeat(
+        np.cumsum(inst_per_unit) - inst_per_unit, inst_per_unit)
+    inst_ring = feat_first_ring[unit_feat[inst_unit]] + ring_ord
+
+    # --- tile id per unit: vertex 0 of ring 0 (single-tile ⇒ any vertex) --
+    nz = np.power(2.0, unit_z.astype(np.float64))
+    v0 = ring_start[feat_first_ring[unit_feat]]
+    lon0 = verts[v0, 0]
+    lat0 = np.clip(verts[v0, 1], -K.MAX_LAT, K.MAX_LAT)
+    tx = np.clip(np.floor((lon0 + 180.0) / 360.0 * nz), 0, nz - 1).astype(np.int64)
+    l0r = np.radians(lat0)
+    ty = np.clip(np.floor(
+        (1.0 - np.log(np.tan(l0r) + 1.0 / np.cos(l0r)) / np.pi) / 2.0 * nz),
+        0, nz - 1).astype(np.int64)
+
+    # --- quantize every vertex of every instance (kernels.quantize_to_tile
+    # formula, elementwise z/x/y) -------------------------------------------
+    L = ring_len[inst_ring]
+    V = int(L.sum())
+    starts = ring_start[inst_ring]
+    off = np.arange(V) - np.repeat(np.cumsum(L) - L, L)
+    vidx = np.repeat(starts, L) + off
+    vlon = verts[vidx, 0]
+    vlat = np.clip(verts[vidx, 1], -K.MAX_LAT, K.MAX_LAT)
+    n_v = np.repeat(nz[inst_unit], L)
+    fx = (vlon + 180.0) / 360.0 * n_v - np.repeat(tx[inst_unit].astype(np.float64), L)
+    vlr = np.radians(vlat)
+    fy = ((1.0 - np.log(np.tan(vlr) + 1.0 / np.cos(vlr)) / np.pi) / 2.0 * n_v
+          - np.repeat(ty[inst_unit].astype(np.float64), L))
+    qx = np.clip(np.floor(fx * extent + 0.5).astype(np.int64), 0, extent)
+    qy = np.clip(np.floor(fy * extent + 0.5).astype(np.int64), 0, extent)
+
+    # --- dedupe consecutive (per instance) ---------------------------------
+    inst_vstart = np.cumsum(L) - L
+    v_inst = np.repeat(np.arange(tot_inst), L)
+    keep = np.zeros(V, dtype=bool)
+    keep[inst_vstart[L > 0]] = True
+    keep[1:] |= (qx[1:] != qx[:-1]) | (qy[1:] != qy[:-1])
+    qx2, qy2 = qx[keep], qy[keep]
+    # bincount (not reduceat): stays correct for zero-length instances
+    L2 = np.bincount(v_inst, weights=keep, minlength=tot_inst).astype(np.int64)
+    S2 = np.cumsum(L2) - L2
+
+    # --- closing-vertex strip (polygons only) ------------------------------
+    kinds = b["kind"].to_numpy()
+    inst_is_poly = kinds[unit_feat[inst_unit]] != "line"
+    last2 = S2 + L2 - 1
+    if qx2.size:
+        hi = qx2.size - 1
+        sS, sE = np.minimum(S2, hi), np.clip(last2, 0, hi)
+        closed = (inst_is_poly & (L2 >= 2)
+                  & (qx2[sS] == qx2[sE]) & (qy2[sS] == qy2[sE]))
+    else:
+        closed = np.zeros(tot_inst, dtype=bool)
+    keep2 = np.ones(qx2.size, dtype=bool)
+    keep2[last2[closed]] = False
+    qx3, qy3 = qx2[keep2], qy2[keep2]
+    L3 = L2 - closed
+    S3 = np.cumsum(L3) - L3
+
+    # --- shoelace area per instance (exact in float64: |terms| < 2^26) -----
+    nxt = np.arange(qx3.size) + 1
+    last3 = S3 + L3 - 1
+    nz3 = L3 > 0
+    nxt[last3[nz3]] = S3[nz3]
+    x3f = qx3.astype(np.float64)
+    y3f = qy3.astype(np.float64)
+    cross = x3f * y3f[nxt] - x3f[nxt] * y3f
+    inst3 = np.repeat(np.arange(tot_inst), L3)
+    area2 = np.bincount(inst3, weights=cross, minlength=tot_inst)
+    area2[L3 < 3] = 0.0
+
+    # --- validity + winding (MVT 2.1 §4.3.3.3) ------------------------------
+    poly_ok = inst_is_poly & (L3 >= 3) & (area2 != 0.0)
+    line_ok = ~inst_is_poly & (L3 >= 2)
+    ext_dead = inst_is_poly & (ring_ord == 0) & ~poly_ok
+    unit_dead = np.zeros(n_unit, dtype=bool)
+    unit_dead[inst_unit[ext_dead]] = True
+    inst_keep = (poly_ok | line_ok) & ~unit_dead[inst_unit]
+    flip = poly_ok & ((area2 > 0.0) != (ring_ord == 0))
+
+    # --- assemble output rows ----------------------------------------------
+    out = np.empty((qx3.size, 2), dtype=np.int32)
+    out[:, 0] = qx3
+    out[:, 1] = qy3
+    fids = b["feature_id"].to_numpy()
+    props = b["props"].to_numpy()
+    rows: dict[str, list] = {k: [] for k in (
+        "z", "x", "y", "feature_id", "kind", "geom", "props")}
+    cur = -1
+    for ii in np.nonzero(inst_keep)[0]:
+        u = int(inst_unit[ii])
+        piece = out[S3[ii]:S3[ii] + L3[ii]]
+        if flip[ii]:
+            piece = piece[::-1]
+        lst = piece.ravel().tolist()
+        if u != cur:
+            f = int(unit_feat[u])
+            rows["z"].append(int(unit_z[u]))
+            rows["x"].append(int(tx[u]))
+            rows["y"].append(int(ty[u]))
+            rows["feature_id"].append(int(fids[f]))
+            rows["kind"].append(kinds[f])
+            rows["geom"].append([lst])
+            rows["props"].append(props[f])
+            cur = u
+        else:
+            rows["geom"][-1].append(lst)
+    return pd.DataFrame({
+        "z": pd.Series(rows["z"], dtype="int32"),
+        "x": pd.Series(rows["x"], dtype="int64"),
+        "y": pd.Series(rows["y"], dtype="int64"),
+        "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
+        "kind": pd.Series(rows["kind"], dtype="string"),
+        "geom": pd.Series(rows["geom"], dtype=object),
+        "props": pd.Series(rows["props"], dtype=object),
+    })
+
+
 def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
                        extent: int = K.MVT_EXTENT) -> DataFrame:
     """Fused covering+clip+quantize for lines/polygons — ONE Arrow crossing,
     no assignments join (each feature's coords cross the boundary once instead
     of once per covering tile; at z≤12 a large polygon covers 10³ tiles, so
-    this is a ~650× reduction in shuffled bytes for the synthetic corpus)."""
+    this is a ~650× reduction in shuffled bytes for the synthetic corpus).
+
+    Zoom split (r3): a relational corner-tile test (same G2 SQL text as the
+    point path) partitions each feature's zooms into SINGLE-TILE zooms
+    (bbox corners share a tile ⇒ the clip is the identity — the vectorized
+    _fast_batch handles thousands of rows per numpy call and ships coords
+    ONCE per feature instead of once per zoom) and MULTI-TILE zooms (the
+    per-(feature,z) covering+clip loop below). Monotonicity makes the split
+    exact: if the bbox fits one tile at z it fits at every z' < z."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -363,10 +540,63 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     except (TypeError, ValueError):  # "auto" on AQE-managed clusters
         base = shapes.sparkSession.sparkContext.defaultParallelism
     n_parts = base * int(os.environ.get("TILEGEN_CLIP_OVERPART", "4"))
-    sel = (shapes.select("feature_id", "kind", "coords", "props")
-           .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
-           .repartition(n_parts, "feature_id", "_z"))
-    return sel.mapInPandas(fn, CLIP_SCHEMA)
+
+    if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
+        # escape hatch + parity-test reference: the pre-r3 single path
+        sel = (shapes.select("feature_id", "kind", "coords", "props")
+               .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
+               .repartition(n_parts, "feature_id", "_z"))
+        return sel.mapInPandas(fn, CLIP_SCHEMA)
+
+    # relational zoom split: bbox corner tiles (same G2 SQL text as the point
+    # path, so the split can never disagree with the kernels) — codegen'd,
+    # zero Python. NOTE: a head repartition(n, feature_id) here was measured
+    # SLOWER at both core counts (+11 s at local[32]) — the extra coords
+    # exchange costs more than the widened HOF parallelism buys; the session
+    # instead caps AQE's advisory partition size so the upstream window
+    # exchange keeps enough partitions.
+    flat = F.flatten(F.col("coords"))
+    xs = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 0, v)),
+                  lambda v: v.isNotNull())
+    ys = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 1, v)),
+                  lambda v: v.isNotNull())
+    conds = [F.expr(
+        f"({S.tile_x('_minlon', z)}) = ({S.tile_x('_maxlon', z)}) AND "
+        f"({S.tile_y('_maxlat', z)}) = ({S.tile_y('_minlat', z)})")
+        for z in zooms]
+    base_df = (shapes.select("feature_id", "kind", "coords", "props",
+                             F.array_min(xs).alias("_minlon"),
+                             F.array_max(xs).alias("_maxlon"),
+                             F.array_min(ys).alias("_minlat"),
+                             F.array_max(ys).alias("_maxlat"))
+               .withColumn("_zarr", F.array(*[F.lit(z).cast("int") for z in zooms]))
+               .withColumn("_st", F.array(*conds)))
+
+    # coords ship ONCE per feature (not once per zoom); per-feature fast
+    # work is O(verts × |_zs|) with low variance, and the head repartition
+    # already hash-spread by feature_id, so no further exchange is needed
+    fast = (base_df
+            .select("feature_id", "kind", "coords", "props",
+                    F.expr("filter(_zarr, (z, i) -> _st[i])").alias("_zs"))
+            .filter(F.size("_zs") > 0)
+            # coords ship ONCE per feature (not once per zoom); per-feature
+            # fast work is O(verts × |_zs|) with low variance, so plain
+            # feature_id hash-spread balances the waves
+            .repartition(n_parts, "feature_id"))
+    fast_out = fast.mapInPandas(
+        lambda batches: (_fast_batch(bt, extent) for bt in batches),
+        CLIP_SCHEMA)
+
+    from .clip_vec import slow_batch
+    slow = (base_df
+            .select("feature_id", "kind", "coords", "props",
+                    F.explode(F.expr("filter(_zarr, (z, i) -> NOT _st[i])"))
+                    .alias("_z"))
+            .repartition(n_parts, "feature_id", "_z"))
+    slow_out = slow.mapInPandas(
+        lambda batches: (slow_batch(bt, extent) for bt in batches),
+        CLIP_SCHEMA)
+    return fast_out.unionByName(slow_out)
 
 
 def build_tile_features(features: DataFrame, zooms: list[int],
@@ -405,11 +635,24 @@ def tile_feature_lists(clipped: DataFrame, salt: int = 0) -> DataFrame:
     # Arrow workers (measured: decoupling cut the fused pipeline ~15% at
     # local[32] and removes nothing — partial collect_list doesn't shrink
     # the shuffle anyway, it only concatenates).
+    #
+    # EXPLICIT partition counts on BOTH exchanges: a bare repartition(keys)
+    # (and the final agg's exchange) is AQE-coalescible to a SIZE-based
+    # count — the same count at any core count, so the agg stops scaling
+    # entirely (r3 phase profile: 45.5 s @ local[8] vs 48.3 s @ local[32]).
+    # A user-specified numPartitions is exempt from AQE coalescing; deriving
+    # it from shuffle_partitions keeps parallelism ∝ cores.
+    spark = clipped.sparkSession
+    try:
+        n_agg = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_agg = spark.sparkContext.defaultParallelism
     two = (clipped
            .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
-           .repartition("z", "x", "y", "_salt")
+           .repartition(n_agg * 2, "z", "x", "y", "_salt")
            .groupBy("z", "x", "y", "_salt")
            .agg(F.collect_list(feat).alias("_part")))
-    return (two.groupBy("z", "x", "y")
+    return (two.repartition(n_agg, "z", "x", "y")
+            .groupBy("z", "x", "y")
             .agg(by_fid(F.flatten(F.collect_list("_part"))).alias("features"))
             .withColumn("n_features", F.size("features")))

@@ -26,6 +26,11 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE advisory left at the 64 MB default deliberately: 16 MB was
+        # measured SLOWER at local[32] (58.5 s vs 47.2 s pipeline) — the
+        # Arrow extract wants few large batches (pandas .str vectorization
+        # amortizes per-task fixed cost), and the stages that must scale
+        # (clip, salted agg) already pin explicit AQE-exempt partition counts.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~10k rows per Arrow batch: wide geometry rows (SURVEY.md §4.2)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -35,7 +40,10 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
         # 16g measured flat-stable across reps — 8g went GC-bound on heavy
         # 32-thread stages, 48g spiked on heap expansion (4s → 50s outliers)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench hygiene; SPARK_GRAFT_UI=1 turns it on so
+        # tools/profile_phases.py can read per-stage GC/shuffle metrics
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
     )
     # Local-mode shuffle files on tmpfs when available: all N threads share
     # ONE disk in local mode, which serializes shuffle-heavy stages — an

@@ -2,12 +2,24 @@
 parallelism levels standing in for N and 4N executors (driver instruction —
 no real cluster in this sandbox).
 
-Runs bench.py (tile_pipeline + pip_join, the BASELINE.json:2 metrics) as one
-pinned subprocess per config (SPARK_GRAFT_CPUS=8 and 32); each process runs
-BENCH_REPS timed in-process repetitions after a discarded full-size warm pass
-(C2 JIT) and reports its median. Then
+Variance-aware (VERDICT r2: a protocol whose pip efficiency swings
+0.615↔0.873 between runs cannot support any pass/fail claim):
+  - PROC_RUNS (default 3) process-level runs PER CONFIG, interleaved
+    ABBA-style (8,32,32,8,8,32) so slow drift (page cache, thermal) hits
+    both configs equally;
+  - each process runs bench.py with BENCH_REPS in-process timed reps after
+    TWO discarded full-size passes (C2 JIT) and reports its own median;
+  - the report carries median + min/max per config AND the per-pairing
+    efficiency spread, so the headline number owns its variance.
+
+Sections are isolated subprocesses inside bench.py itself (fresh JVM per
+section), and taskset pins the WHOLE process tree (JVM + forked Python
+workers) to `cpus` physical cores — without it, local[8]'s Python workers
+spill onto the other 24 cores and inflate the N baseline (unpinned local[8]
+measured ~11% faster than a true 8-core run).
+
   scaling_efficiency = (throughput@32 / throughput@8) / 4
-into BENCH/BASELINE.md. Target ≥ 0.8 (BASELINE.json:2,14).
+Target ≥ 0.8 (BASELINE.json:2,14).
 """
 
 from __future__ import annotations
@@ -21,8 +33,10 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
+PROC_RUNS = int(os.environ.get("SCALING_PROC_RUNS", "3"))
 PAGES = os.environ.get("BENCH_PAGES", "400000")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SECTIONS = os.environ.get("SCALING_SECTIONS", "tile_pipeline,pip_join")
 
 
 def run_once(cpus: int) -> dict:
@@ -31,73 +45,89 @@ def run_once(cpus: int) -> dict:
                SPARK_GRAFT_SF_DIR=SF_DIR,
                BENCH_PAGES=PAGES,
                BENCH_REPS=str(REPS),
-               BENCH_ONLY="pip_join")
-    # taskset pins the WHOLE process tree (JVM + forked Python workers) to
-    # `cpus` physical cores — without it, local[8]'s Python workers spill onto
-    # the other 24 cores and inflate the N baseline (unpinned local[8]
-    # measured ~11% faster than a true 8-core run), which is not how an
-    # 8-core executor behaves on a real cluster
+               BENCH_ONLY=SECTIONS)
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
            os.path.join(ROOT, "bench.py")]
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=7200)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    # Reps run IN-PROCESS (BENCH_REPS): one JVM per config executes
-    # (REPS + 1) full-size passes, discards the first (C2 JIT needs a full
-    # pass), and reports its own median — steadier and ~2x cheaper than
-    # process-level reps, whose every rep re-paid JIT warm-in.
+    # ABBA interleave: 8,32,32,8,8,32,... — each adjacent pair is a
+    # (N, 4N) comparison under near-identical machine state
+    order: list[int] = []
+    for i in range(PROC_RUNS):
+        order += [8, 32] if i % 2 == 0 else [32, 8]
     results: dict[int, list[dict]] = {8: [], 32: []}
     t_start = time.time()
-    results[8].append(run_once(8))
-    results[32].append(run_once(32))
+    for cpus in order:
+        r = run_once(cpus)
+        results[cpus].append(r)
+        print(json.dumps({"run": len(results[cpus]), "cpus": cpus,
+                          "tiles_per_sec": r.get("tiles_per_sec"),
+                          "joined_rows_per_sec": r.get("joined_rows_per_sec"),
+                          "queries": r.get("queries")}), flush=True)
 
-    def med(cpus: int, key, default=0.0):
+    def series(cpus: int, key: str) -> list[float]:
         vals = []
         for r in results[cpus]:
             v = r
             for k in key.split("."):
-                v = v.get(k, default) if isinstance(v, dict) else default
+                v = v.get(k, 0.0) if isinstance(v, dict) else 0.0
             vals.append(float(v))
-        return statistics.median(vals)
+        return vals
 
-    tput8 = med(8, "value")
-    tput32 = med(32, "value")
-    eff = (tput32 / tput8) / 4.0
-    pj8 = med(8, "queries.pip_join")
-    pj32 = med(32, "queries.pip_join")
-    jr8 = med(8, "joined_rows_per_sec")
-    jr32 = med(32, "joined_rows_per_sec")
-    eff_join = (jr32 / jr8) / 4.0 if jr8 else 0.0
+    def stats(vals: list[float]) -> tuple[float, float, float]:
+        return statistics.median(vals), min(vals), max(vals)
+
+    tput8 = series(8, "tiles_per_sec")
+    tput32 = series(32, "tiles_per_sec")
+    jr8 = series(8, "joined_rows_per_sec")
+    jr32 = series(32, "joined_rows_per_sec")
+
+    def effs(a: list[float], b: list[float]) -> list[float]:
+        return [round((y / x) / 4.0, 3) for x, y in zip(a, b) if x > 0]
+
+    eff_tile = effs(tput8, tput32)
+    eff_join = effs(jr8, jr32)
+    eff = round((stats(tput32)[0] / stats(tput8)[0]) / 4.0, 3) if tput8 and stats(tput8)[0] else 0.0
+    effj = round((stats(jr32)[0] / stats(jr8)[0]) / 4.0, 3) if jr8 and stats(jr8)[0] else 0.0
+
+    def row(vals: list[float]) -> str:
+        m, lo, hi = stats(vals)
+        return f"{m:.1f} (min {lo:.1f}, max {hi:.1f})"
 
     report = f"""# BENCH — measured results (latest protocol run)
 
 Machine: 32 cores, Spark 4.1.2 local mode, Python 3.11.7, Arrow enabled.
 Input: deterministic synthetic corpus, {PAGES} pages (seed 42), zoom 0–12;
-points/zones derived from {SF_DIR}. Protocol: BASELINE.md (same input, two
-parallelism levels standing in for N and 4N executors; {REPS} timed in-process
-reps, median; full-size warm-up pass discarded per config — see BASELINE.md
-"Local-mode artifacts controlled for").
+points/zones derived from {SF_DIR}. Protocol: {PROC_RUNS} process-level runs
+per config, ABBA-interleaved (8,32,32,8,8,32); each process runs {REPS} timed
+in-process reps after TWO discarded full-size passes (C2 JIT) and reports its
+median; sections run in isolated JVMs; taskset-pinned cores; tmpfs shuffle
+(see BASELINE.md "Local-mode artifacts controlled for").
 
 ## Tile pipeline (pages → extract → parse → assign z0–12 → clip → per-tile lists)
 
-| config | tiles/sec (median) | pipeline sec | reps |
-|---|---|---|---|
-| local[8]  (N)  | {tput8:.1f} | {med(8, 'queries.tile_pipeline'):.1f} | {REPS} in-process |
-| local[32] (4N) | {tput32:.1f} | {med(32, 'queries.tile_pipeline'):.1f} | {REPS} in-process |
+| config | tiles/sec median (min, max) | runs |
+|---|---|---|
+| local[8]  (N)  | {row(tput8)} | {PROC_RUNS} × {REPS} reps |
+| local[32] (4N) | {row(tput32)} | {PROC_RUNS} × {REPS} reps |
 
-**Scaling efficiency (tiles/sec): {eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency (tiles/sec, median-of-runs): {eff:.3f}** (target ≥ 0.8)
+Per-pairing efficiencies: {eff_tile} (spread {max(eff_tile) - min(eff_tile):.3f})
 
 ## PIP join (quadkey-bucketed point-in-polygon)
 
-| config | joined rows/sec (median) | join sec |
-|---|---|---|
-| local[8]  (N)  | {jr8:.1f} | {pj8:.1f} |
-| local[32] (4N) | {jr32:.1f} | {pj32:.1f} |
+| config | joined rows/sec median (min, max) |
+|---|---|
+| local[8]  (N)  | {row(jr8)} |
+| local[32] (4N) | {row(jr32)} |
 
-**Scaling efficiency (joined rows/sec): {eff_join:.3f}**
+**Scaling efficiency (joined rows/sec, median-of-runs): {effj:.3f}**
+Per-pairing efficiencies: {eff_join} (spread {(max(eff_join) - min(eff_join)) if eff_join else 0:.3f})
 
 ## Raw runs
 
@@ -111,8 +141,12 @@ Wall time for protocol: {time.time() - t_start:.0f}s.
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(report)
-    print(json.dumps({"tput8": tput8, "tput32": tput32, "efficiency": round(eff, 3),
-                      "join_efficiency": round(eff_join, 3), "report": out_path}))
+    print(json.dumps({
+        "tput8": stats(tput8) if tput8 else None,
+        "tput32": stats(tput32) if tput32 else None,
+        "efficiency": eff, "eff_runs": eff_tile,
+        "join_efficiency": effj, "join_eff_runs": eff_join,
+        "report": out_path}))
 
 
 if __name__ == "__main__":
