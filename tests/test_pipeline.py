@@ -450,3 +450,23 @@ def test_clip_shapes_fastpath_parity(spark, features):
     assert not missing and not extra, (
         f"fastpath diverged: {len(missing)} missing, {len(extra)} extra; "
         f"sample missing={list(missing)[:2]}, extra={list(extra)[:2]}")
+
+
+def test_run_tile_job_mvt_sink(spark, features, tmp_path):
+    """EP1 + S7: run_tile_job(mvt=True, split_layers=True) writes decodable
+    MVT 2.1 bytes per tile, layers split by geometry kind."""
+    from tile_gen_spark.operators.checkpoint import run_tile_job
+    from tile_gen_spark.operators import mvt as M
+
+    out = str(tmp_path / "tiles")
+    man = str(tmp_path / "manifest")
+    stats = run_tile_job(spark, features, out, man, [3], salt=2,
+                         mvt=True, split_layers=True)
+    assert stats["zooms_run"] == 1 and stats["tiles"] > 0
+    df = spark.read.parquet(out + "/z=3")
+    row = df.orderBy(F.desc("n_features")).first()
+    layers = M.decode_tile(bytes(row["mvt"]))["layers"]
+    assert len(layers) >= 1
+    assert all(l["name"].startswith("features_") for l in layers)
+    n = sum(len(l["features"]) for l in layers)
+    assert n == row["n_features"]

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--salt", default="auto")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--mvt", action="store_true",
+                    help="also encode MVT 2.1 wire bytes per tile (adds an "
+                         "'mvt' binary column to the sink)")
+    ap.add_argument("--split-layers", action="store_true",
+                    help="with --mvt: one layer per geometry kind "
+                         "(point/line/polygon) instead of a single layer")
     args = ap.parse_args(argv)
 
     from ..plans.session import get_spark
@@ -64,7 +70,8 @@ def main(argv: list[str] | None = None) -> None:
     else:
         salt = int(args.salt)
 
-    stats = run_tile_job(spark, feats, args.out, args.manifest, zooms, salt=salt)
+    stats = run_tile_job(spark, feats, args.out, args.manifest, zooms,
+                         salt=salt, mvt=args.mvt, split_layers=args.split_layers)
     stats.update({"salt": salt, "wall_sec": round(time.time() - t0, 1),
                   "n_features": feats.count()})
     print(json.dumps(stats))

@@ -98,12 +98,17 @@ class TileCheckpoint:
 
 def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
                  manifest_path: str, zooms: list[int], salt: int = 0,
-                 run_id: str | None = None) -> dict[str, int]:
+                 run_id: str | None = None, mvt: bool = False,
+                 split_layers: bool = False) -> dict[str, int]:
     """EP1 driver loop: per-zoom tile build with checkpoint-resume.
 
+    ``mvt=True`` additionally encodes each tile's feature list to MVT 2.1
+    wire bytes (S7) in the same pass — the sink rows gain an ``mvt`` binary
+    column; ``split_layers`` emits one MVT layer per geometry kind.
     Returns {"zooms_run": n, "zooms_skipped": m, "tiles": total}.
     """
     from .tiles import build_tile_features
+    from .mvt import encode_tiles
 
     from pyspark.sql import Observation
 
@@ -118,7 +123,10 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
     for z in todo:
         started = time.time()
         obs = Observation(f"tiles-z{z}-{run_id}")
-        tiles = build_tile_features(features, [z], salt=salt).observe(
+        tiles = build_tile_features(features, [z], salt=salt)
+        if mvt:
+            tiles = encode_tiles(tiles, split_layers=split_layers)
+        tiles = tiles.observe(
             obs, F.count(F.lit(1)).alias("tiles"), F.sum("n_features").alias("feature_rows"))
         out_path = os.path.join(out_dir, f"z={z}")
         # O2 sink clustering: few files per zoom, rows sorted (z,x,y) inside

@@ -64,6 +64,9 @@ def main() -> None:
     t_start = time.time()
     for cpus in order:
         r = run_once(cpus)
+        # bench.py's orchestrator reports tile throughput as the headline
+        # "value"; normalize it back for the series math
+        r.setdefault("tiles_per_sec", r.get("value", 0.0))
         results[cpus].append(r)
         print(json.dumps({"run": len(results[cpus]), "cpus": cpus,
                           "tiles_per_sec": r.get("tiles_per_sec"),
@@ -96,6 +99,8 @@ def main() -> None:
     effj = round((stats(jr32)[0] / stats(jr8)[0]) / 4.0, 3) if jr8 and stats(jr8)[0] else 0.0
 
     def row(vals: list[float]) -> str:
+        if not vals:
+            return "n/a"
         m, lo, hi = stats(vals)
         return f"{m:.1f} (min {lo:.1f}, max {hi:.1f})"
 
