@@ -584,12 +584,19 @@ def _ann_recall(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
                 "hits", "total",
                 F.round(100.0 * F.col("hits") / F.greatest("total", F.lit(1)), 1)
                  .alias("recall_pct"))
-            .withColumn("recall_ok", F.col("recall_pct") >= F.lit(floor)))
+            .withColumn("recall_ok", F.col("recall_pct") >= F.lit(floor))
+            # driver-visible gate (VERDICT r3 "What's missing #1"): the
+            # driver's rows-only check is rows > 0, so a floor breach must
+            # produce ZERO rows — not a row with recall_ok=false that only
+            # pytest would notice.
+            .filter(F.col("recall_ok")))
 
 
 def _run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN (random-hyperplane LSH) — rows-only; recall vs exact is
-    computed in-query and GATED: recall_ok = recall_pct >= 60."""
+    computed in-query and GATED driver-visibly: rows are filtered to
+    recall_ok (recall_pct >= ANN_LSH_RECALL_FLOOR = 80), so a recall
+    collapse yields 0 rows and fails the driver's rows-only check."""
     from pyspark.sql import functions as F
     from tile_gen_spark.operators.knn import knn_embeddings, knn_embeddings_lsh
 
@@ -604,7 +611,9 @@ def _run_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN (IVF coarse-quantizer probe) — rows-only; recall vs
-    exact computed in-query and GATED: recall_ok = recall_pct >= 80."""
+    exact computed in-query and GATED driver-visibly: rows filtered to
+    recall_ok (recall_pct >= ANN_IVF_RECALL_FLOOR = 75), so a recall
+    collapse yields 0 rows and fails the driver's rows-only check."""
     from pyspark.sql import functions as F
     from tile_gen_spark.operators.knn import knn_embeddings, knn_embeddings_ivf
 

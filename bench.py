@@ -227,18 +227,29 @@ def main() -> None:
     only = set(os.environ.get("BENCH_ONLY", "").split(",")) - {""}
     queries: dict[str, float] = {}
     extras: dict = {}
+    failed: list[str] = []
     for name in SECTIONS:
         if only and name not in only:
             continue
         env = dict(os.environ, BENCH_SECTION=name)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, text=True, env=env,
-                           timeout=7200)
+        # per-section timeout caught so one hung section surrenders only its
+        # own slot: completed sections still land in the output, and the JSON
+        # names the failures — a partial run is self-describing, not
+        # indistinguishable from a full one (ADVICE r3).
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               capture_output=True, text=True, env=env,
+                               timeout=7200)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] section {name} TIMED OUT (7200s)\n")
+            failed.append(name)
+            continue
         lines = [l for l in r.stdout.splitlines()
                  if l.startswith("BENCH_SECTION_RESULT ")]
         if not lines:
             sys.stderr.write(f"[bench] section {name} FAILED:\n"
                              + r.stdout[-2000:] + r.stderr[-4000:])
+            failed.append(name)
             continue
         part = json.loads(lines[-1].split(" ", 1)[1])
         queries.update({k: round(v, 2) for k, v in part.pop("queries").items()})
@@ -256,6 +267,7 @@ def main() -> None:
         "n_pages": N_PAGES,
         "reps": REPS,
         "isolated_sections": True,
+        "failed_sections": failed,
         **{k: v for k, v in extras.items() if k != "tiles_per_sec"},
     }))
 

@@ -103,8 +103,8 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
     """EP1 driver loop: per-zoom tile build with checkpoint-resume.
 
     ``mvt=True`` additionally encodes each tile's feature list to MVT 2.1
-    wire bytes (S7) in the same pass — the sink rows gain an ``mvt`` binary
-    column; ``split_layers`` emits one MVT layer per geometry kind.
+    wire bytes (S7) in the same pass — the sink rows carry an ``mvt`` binary
+    column IN PLACE of ``features``; ``split_layers`` emits one MVT layer per geometry kind.
     Returns {"zooms_run": n, "zooms_skipped": m, "tiles": total}.
     """
     from .tiles import build_tile_features
@@ -115,8 +115,16 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
     from ..sources.catalog import cluster_tiles
 
     run_id = run_id or uuid.uuid4().hex[:12]
+    # The sink schema differs by mode (mvt=True REPLACES the features column
+    # with wire bytes; split_layers changes the bytes) — so the manifest
+    # stage name encodes the mode. Resuming the same out_dir with a
+    # different flag finds no completed zooms under the new stage, re-runs
+    # every zoom, and the per-zoom overwrite leaves the directory tree in
+    # the single new schema — no mixed z= directories for a reader to choke
+    # on (a whole-root scan after a flag flip previously failed schema merge).
+    stage = "tiles" if not mvt else ("tiles_mvt_split" if split_layers else "tiles_mvt")
     ckpt = TileCheckpoint(spark, manifest_path)
-    todo = ckpt.pending(zooms)
+    todo = ckpt.pending(zooms, stage=stage)
     skipped = len(zooms) - len(todo)
     total_tiles = 0
     features = features.cache()
@@ -138,12 +146,12 @@ def run_tile_job(spark: SparkSession, features: DataFrame, out_dir: str,
         lineage = (f"pages>latest_per_url>extract>parse_geo>validity>"
                    f"assign(z={z})>clip>quantize>collect_list"
                    f"|observed_feature_rows={feature_rows}")
-        summary = zoom_summary_row(spark, z, "tiles", run_id, started, lineage,
+        summary = zoom_summary_row(spark, z, stage, run_id, started, lineage,
                                    input_rows=feature_rows, output_rows=n_tiles)
         if n_tiles > 0:
             written = spark.read.parquet(out_path)
             ckpt.commit(summary.unionByName(
-                partition_metrics(written, z, "tiles", run_id, started, lineage)))
+                partition_metrics(written, z, stage, run_id, started, lineage)))
         else:
             # zero-tile zooms still commit: completed_zooms must record them
             # or every resume re-runs the empty zoom forever

@@ -159,7 +159,8 @@ def zone_edges(zones: DataFrame) -> DataFrame:
     return zones.select("zone_id", F.expr(edge))
 
 
-def pip_refine_relational(candidates: DataFrame, zones: DataFrame) -> DataFrame:
+def pip_refine_relational(candidates: DataFrame, zones: DataFrame,
+                          broadcast: bool = True) -> DataFrame:
     """Exact G7 refine with ZERO Python in the hot path: candidates join the
     broadcast per-edge table, per-edge crossing/on-edge flags are flat-column
     double arithmetic (whole-stage codegen, no arrays, no boxing), and the
@@ -172,7 +173,17 @@ def pip_refine_relational(candidates: DataFrame, zones: DataFrame) -> DataFrame:
     Why not pandas here: the per-candidate Arrow crossing was the measured
     bottleneck (identity mapInPandas over the candidate set cost more than
     the entire relational refine), and interpreted array HOFs allocate per
-    element access and go GC-bound at high thread counts."""
+    element access and go GC-bound at high thread counts.
+
+    ``broadcast=False`` (r4): zone set too big for a broadcast — the same
+    per-edge join runs as a shuffle join on zone_id. The parity agg still
+    adds NO exchange: HashPartitioning(zone_id) is a subset of the group
+    keys (point_id, zone_id, lon, lat), so its ClusteredDistribution is
+    already satisfied and the per-edge rows collapse partition-locally.
+    Candidates shuffle once (on zone_id — replacing the broadcast), edges
+    shuffle once (dim-scale); zero Python either way. Hot zones are the
+    skew risk — AQE's skew-join split handles the join side, and the
+    parity agg's partial aggregation bounds the reduce side."""
     x1, y1, x2, y2 = F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
     lon, lat = F.col("lon"), F.col("lat")
     crossing = (((y1 > lat) != (y2 > lat))
@@ -183,7 +194,8 @@ def pip_refine_relational(candidates: DataFrame, zones: DataFrame) -> DataFrame:
     seg2 = dx * dx + dy * dy
     on_edge = ((F.abs(cross) <= 1e-12 * F.greatest(F.lit(1.0), F.sqrt(seg2)))
                & (dot >= 0) & (dot <= seg2) & (seg2 > 0))
-    j = candidates.join(F.broadcast(zone_edges(zones)), "zone_id")
+    edges = zone_edges(zones)
+    j = candidates.join(F.broadcast(edges) if broadcast else edges, "zone_id")
     return (j.groupBy("point_id", "zone_id", "lon", "lat")
             .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("_nc"),
                  F.max(F.when(on_edge, 1).otherwise(0)).alias("_oe"))
@@ -274,9 +286,17 @@ def pip_join(points: DataFrame, zones: DataFrame, res: int = 6,
         if refine == "indexed":
             return pip_refine_indexed(cand, zones)
         return pip_refine_relational(cand, zones)
-    # zone set too big for a driver-held ring index: shuffle equi-join on the
-    # bucket, ring shipped per surviving candidate, per-batch kernel refine
+    # zone set too big to broadcast: shuffle equi-join on the bucket, then
+    # the SAME relational per-edge parity refine as the broadcast path, run
+    # as a shuffle join on zone_id (r4 — replaces the ring-per-candidate
+    # Arrow crossing; tests assert no Python node in this plan either).
     cand = (pts.join(zqk, "qb", "inner").filter(bbox)
-            .join(zones.select("zone_id", "ring"), "zone_id")
-            .select("point_id", "zone_id", "lon", "lat", "ring"))
-    return pip_refine(cand.repartition(n_parts, "point_id"))
+            .select("point_id", "zone_id", "lon", "lat"))
+    if refine == "indexed":
+        # explicit opt-in retains the pandas kernel path (rings shipped per
+        # surviving candidate) for engines/zones where the per-edge
+        # explosion is worse than the Arrow crossing
+        cand = (cand.join(zones.select("zone_id", "ring"), "zone_id")
+                .select("point_id", "zone_id", "lon", "lat", "ring"))
+        return pip_refine(cand.repartition(n_parts, "point_id"))
+    return pip_refine_relational(cand, zones, broadcast=False)

@@ -34,6 +34,32 @@ from ..plans import sqlgen as S
 ASSIGN_SCHEMA = "feature_id bigint, z int, x bigint, y bigint"
 CLIP_SCHEMA = ("z int, x bigint, y bigint, feature_id bigint, kind string, "
                "geom array<array<int>>, props map<string,string>")
+# r4 FLAT transport (VERDICT r3 "What's wrong #1"): the per-(tile, zoom) row
+# that crosses Arrow and both agg exchanges carries a single flat int array
+# plus ring prefix offsets — no nested array-of-arrays headers, no kind, and
+# crucially no per-row copy of the feature's props map. kind/props ship ONCE
+# per feature (dim join post-agg, enrich_tile_features); the nested
+# array<array<int>> public view is rebuilt relationally (nest_geom).
+CLIP_FLAT_SCHEMA = ("z int, x bigint, y bigint, feature_id bigint, "
+                    "geom array<int>, off array<int>")
+
+#: flat (geom, off) → the public nested array<array<int>> ring list —
+#: pure Catalyst expression (sequence/transform/slice), no Python.
+NEST_GEOM_EXPR = ("transform(sequence(1, size(off) - 1), "
+                  "i -> slice(geom, off[i-1] + 1, off[i] - off[i-1]))")
+
+
+def nest_geom(df: DataFrame) -> DataFrame:
+    """Replace flat (geom, off) columns with the nested CLIP_SCHEMA geom."""
+    return (df.withColumn("geom", F.expr(NEST_GEOM_EXPR))
+            .drop("off"))
+
+
+def _by_fid(arr):
+    """Deterministic per-tile order: maps aren't orderable → explicit
+    comparator on the (unique-per-tile) feature id."""
+    return F.array_sort(arr, lambda l, r: F.when(l.feature_id < r.feature_id, -1)
+                        .when(l.feature_id > r.feature_id, 1).otherwise(0))
 
 
 def _quantize_polygon_rings(rings: list[np.ndarray], z: int, x: int, y: int,
@@ -273,19 +299,20 @@ def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
     flat vertex array instead of per-row kernel calls (the r2 profile showed
     ~0.38 ms/row of per-call overhead; this path amortizes it to ~µs/row).
 
-    Input columns: feature_id, kind, coords, props, _zs (array<int> of the
+    Input columns: feature_id, kind, coords, _zs (array<int> of the
     feature's single-tile zooms). Semantics identical to the per-row loop
     (quantize_to_tile → dedupe_consecutive → closing-vertex strip →
     degenerate-ring drop → MVT winding), verified by the parity pytest.
+    Output is the r4 FLAT transport (CLIP_FLAT_SCHEMA): one concatenated int
+    array + ring prefix offsets, no kind/props (those rejoin post-agg).
     """
     n_feat = len(b)
     empty = pd.DataFrame({
         "z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int64"),
         "y": pd.Series([], dtype="int64"),
         "feature_id": pd.Series([], dtype="int64"),
-        "kind": pd.Series([], dtype="string"),
         "geom": pd.Series([], dtype=object),
-        "props": pd.Series([], dtype=object)})
+        "off": pd.Series([], dtype=object)})
     if n_feat == 0:
         return empty
 
@@ -396,14 +423,13 @@ def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
     inst_keep = (poly_ok | line_ok) & ~unit_dead[inst_unit]
     flip = poly_ok & ((area2 > 0.0) != (ring_ord == 0))
 
-    # --- assemble output rows ----------------------------------------------
+    # --- assemble output rows (flat geom + prefix offsets) -----------------
     out = np.empty((qx3.size, 2), dtype=np.int32)
     out[:, 0] = qx3
     out[:, 1] = qy3
     fids = b["feature_id"].to_numpy()
-    props = b["props"].to_numpy()
     rows: dict[str, list] = {k: [] for k in (
-        "z", "x", "y", "feature_id", "kind", "geom", "props")}
+        "z", "x", "y", "feature_id", "geom", "off")}
     cur = -1
     for ii in np.nonzero(inst_keep)[0]:
         u = int(inst_unit[ii])
@@ -417,21 +443,28 @@ def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
             rows["x"].append(int(tx[u]))
             rows["y"].append(int(ty[u]))
             rows["feature_id"].append(int(fids[f]))
-            rows["kind"].append(kinds[f])
-            rows["geom"].append([lst])
-            rows["props"].append(props[f])
+            rows["geom"].append(lst)
+            rows["off"].append([0, len(lst)])
             cur = u
         else:
-            rows["geom"][-1].append(lst)
+            rows["geom"][-1].extend(lst)
+            rows["off"][-1].append(len(rows["geom"][-1]))
     return pd.DataFrame({
         "z": pd.Series(rows["z"], dtype="int32"),
         "x": pd.Series(rows["x"], dtype="int64"),
         "y": pd.Series(rows["y"], dtype="int64"),
         "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
-        "kind": pd.Series(rows["kind"], dtype="string"),
         "geom": pd.Series(rows["geom"], dtype=object),
-        "props": pd.Series(rows["props"], dtype=object),
+        "off": pd.Series(rows["off"], dtype=object),
     })
+
+
+def _n_clip_parts(df: DataFrame) -> int:
+    try:
+        base = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on AQE-managed clusters
+        base = df.sparkSession.sparkContext.defaultParallelism
+    return base * int(os.environ.get("TILEGEN_CLIP_OVERPART", "4"))
 
 
 def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
@@ -530,23 +563,34 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
                 "props": pd.Series(rows["props"], dtype=object),
             })
 
+    if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
+        # escape hatch + parity-test reference: the pre-r3 single path
+        # (per-row kernel loop, nested CLIP_SCHEMA built directly in Python)
+        sel = (shapes.select("feature_id", "kind", "coords", "props")
+               .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
+               .repartition(_n_clip_parts(shapes), "feature_id", "_z"))
+        return sel.mapInPandas(fn, CLIP_SCHEMA)
+
+    # production path: flat core + relational nested view + per-FEATURE
+    # kind/props rejoin (parity pytest compares this whole composition —
+    # flat kernels AND reconstruction — against the per-row loop above)
+    flat = clip_shapes_flat(shapes, zooms, extent)
+    dim = shapes.select("feature_id", "kind", "props")
+    return (nest_geom(flat).join(dim, "feature_id")
+            .select("z", "x", "y", "feature_id", "kind", "geom", "props"))
+
+
+def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
+                     extent: int = K.MVT_EXTENT) -> DataFrame:
+    """clip_shapes_direct's flat core (CLIP_FLAT_SCHEMA): what actually
+    crosses Arrow and the downstream agg exchanges. No kind/props columns,
+    geom as ONE flat int array + ring prefix offsets."""
     # Explode per (feature, zoom) BEFORE the Python stage and hash-spread on
     # (feature_id, z): clip CPU varies ~1000× per feature and grows with z, so
     # fine-grained rows pack the task waves evenly (the 64-partition version
     # ran local[32] in 2 straggler-dominated waves — measured 0.5 efficiency);
     # 8× overpartitioning keeps the max wave skew ~1/8 of a wave.
-    try:
-        base = int(shapes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # "auto" on AQE-managed clusters
-        base = shapes.sparkSession.sparkContext.defaultParallelism
-    n_parts = base * int(os.environ.get("TILEGEN_CLIP_OVERPART", "4"))
-
-    if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
-        # escape hatch + parity-test reference: the pre-r3 single path
-        sel = (shapes.select("feature_id", "kind", "coords", "props")
-               .withColumn("_z", F.explode(F.array(*[F.lit(z) for z in zooms])))
-               .repartition(n_parts, "feature_id", "_z"))
-        return sel.mapInPandas(fn, CLIP_SCHEMA)
+    n_parts = _n_clip_parts(shapes)
 
     # relational zoom split: bbox corner tiles (same G2 SQL text as the point
     # path, so the split can never disagree with the kernels) — codegen'd,
@@ -564,7 +608,7 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
         f"({S.tile_x('_minlon', z)}) = ({S.tile_x('_maxlon', z)}) AND "
         f"({S.tile_y('_maxlat', z)}) = ({S.tile_y('_minlat', z)})")
         for z in zooms]
-    base_df = (shapes.select("feature_id", "kind", "coords", "props",
+    base_df = (shapes.select("feature_id", "kind", "coords",
                              F.array_min(xs).alias("_minlon"),
                              F.array_max(xs).alias("_maxlon"),
                              F.array_min(ys).alias("_minlat"),
@@ -576,7 +620,7 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     # work is O(verts × |_zs|) with low variance, and the head repartition
     # already hash-spread by feature_id, so no further exchange is needed
     fast = (base_df
-            .select("feature_id", "kind", "coords", "props",
+            .select("feature_id", "kind", "coords",
                     F.expr("filter(_zarr, (z, i) -> _st[i])").alias("_zs"))
             .filter(F.size("_zs") > 0)
             # coords ship ONCE per feature (not once per zoom); per-feature
@@ -585,18 +629,39 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
             .repartition(n_parts, "feature_id"))
     fast_out = fast.mapInPandas(
         lambda batches: (_fast_batch(bt, extent) for bt in batches),
-        CLIP_SCHEMA)
+        CLIP_FLAT_SCHEMA)
 
     from .clip_vec import slow_batch
     slow = (base_df
-            .select("feature_id", "kind", "coords", "props",
+            .select("feature_id", "kind", "coords",
                     F.explode(F.expr("filter(_zarr, (z, i) -> NOT _st[i])"))
                     .alias("_z"))
             .repartition(n_parts, "feature_id", "_z"))
     slow_out = slow.mapInPandas(
         lambda batches: (slow_batch(bt, extent) for bt in batches),
-        CLIP_SCHEMA)
+        CLIP_FLAT_SCHEMA)
     return fast_out.unionByName(slow_out)
+
+
+def clip_points_flat(points: DataFrame, zooms: list[int],
+                     extent: int = K.MVT_EXTENT) -> DataFrame:
+    """clip_points_relational's flat twin (CLIP_FLAT_SCHEMA) — still pure
+    Spark SQL, zero Python; geom = [qx, qy], off = [0, 2]."""
+    pts = with_lonlat(points).select("feature_id", "lon", "lat")
+    entries = []
+    for z in zooms:
+        qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z), extent)
+        qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z), extent)
+        entries.append(F.struct(
+            F.lit(z).cast("int").alias("z"),
+            F.expr(S.tile_x("lon", z)).alias("x"),
+            F.expr(S.tile_y("lat", z)).alias("y"),
+            F.expr(qx).alias("qx"),
+            F.expr(qy).alias("qy")))
+    return (pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
+            .select("t.z", "t.x", "t.y", "feature_id",
+                    F.array("t.qx", "t.qy").cast("array<int>").alias("geom"),
+                    F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off")))
 
 
 def build_tile_features(features: DataFrame, zooms: list[int],
@@ -604,10 +669,75 @@ def build_tile_features(features: DataFrame, zooms: list[int],
     """EP2 pipeline: features → clipped per-tile rows → MVT-equivalent lists.
 
     Points take the zero-Python relational path; shapes take the single-pass
-    Arrow path. Repartitioning by shape feature_id spreads big polygons."""
-    pts = clip_points_relational(features.filter(F.col("kind") == "point"), zooms, extent)
-    shp = clip_shapes_direct(features.filter(F.col("kind") != "point"), zooms, extent)
-    return tile_feature_lists(pts.unionByName(shp), salt=salt)
+    Arrow path. r4: the whole clip→agg pipeline runs on the FLAT transport
+    (no nested geom headers, no per-tile-row kind/props); the public nested
+    schema is reassembled once post-agg (enrich_tile_features), cutting both
+    salted-agg exchanges to roughly half their r3 bytes.
+    TILEGEN_FASTPATH=0 falls back to the fully nested reference pipeline."""
+    if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
+        pts = clip_points_relational(features.filter(F.col("kind") == "point"), zooms, extent)
+        shp = clip_shapes_direct(features.filter(F.col("kind") != "point"), zooms, extent)
+        return tile_feature_lists(pts.unionByName(shp), salt=salt)
+    pts = clip_points_flat(features.filter(F.col("kind") == "point"), zooms, extent)
+    shp = clip_shapes_flat(features.filter(F.col("kind") != "point"), zooms, extent)
+    tiled = tile_feature_lists_flat(pts.unionByName(shp), salt=salt)
+    return enrich_tile_features(tiled, features.select("feature_id", "kind", "props"))
+
+
+def tile_feature_lists_flat(clipped: DataFrame, salt: int = 0) -> DataFrame:
+    """A1/A2 over the FLAT transport: per-tile list of (feature_id, geom,
+    off) structs, sorted by feature_id. Same two-phase salted shape as
+    tile_feature_lists; the rows carry no kind/props and no nested arrays,
+    so both exchanges ship ~half the bytes (VERDICT r3 #1)."""
+    feat = F.struct(F.col("feature_id"), F.col("geom"), F.col("off"))
+    if salt <= 1:
+        return (clipped
+                .groupBy("z", "x", "y")
+                .agg(_by_fid(F.collect_list(feat)).alias("features"))
+                .withColumn("n_features", F.size("features")))
+    spark = clipped.sparkSession
+    try:
+        n_agg = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_agg = spark.sparkContext.defaultParallelism
+    # same rationale as tile_feature_lists: explicit AQE-exempt partition
+    # counts on BOTH exchanges so the agg scales with cores
+    two = (clipped
+           .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
+           .repartition(n_agg * 2, "z", "x", "y", "_salt")
+           .groupBy("z", "x", "y", "_salt")
+           .agg(F.collect_list(feat).alias("_part")))
+    return (two.repartition(n_agg, "z", "x", "y")
+            .groupBy("z", "x", "y")
+            .agg(_by_fid(F.flatten(F.collect_list("_part"))).alias("features"))
+            .withColumn("n_features", F.size("features")))
+
+
+def enrich_tile_features(tiled: DataFrame, dim: DataFrame,
+                         broadcast_dim: bool = True) -> DataFrame:
+    """Rebuild the public per-tile schema from the flat agg output: nested
+    geom via the pure-Catalyst NEST_GEOM_EXPR, kind/props joined back ONCE
+    per feature from the dim.
+
+    Exchange-free by construction on the default path: the flat agg's output
+    is hash-partitioned on (z,x,y); explode (Generate) and a broadcast hash
+    join both preserve that partitioning, so the re-agg's ClusteredDistribution
+    is already satisfied and Catalyst inserts NO new shuffle — the only added
+    exchange is the dim broadcast (asserted by tests/test_plans.py).
+    ``broadcast_dim=False`` is the huge-dim fallback (shuffle hash join on
+    feature_id + one re-agg exchange) for feature dims too big to broadcast.
+    """
+    d = dim.select("feature_id", "kind", "props")
+    d = F.broadcast(d) if broadcast_dim else d
+    ex = (tiled.select("z", "x", "y", F.explode("features").alias("f"))
+          .select("z", "x", "y", F.col("f.feature_id").alias("feature_id"),
+                  F.col("f.geom").alias("geom"), F.col("f.off").alias("off")))
+    j = nest_geom(ex).join(d, "feature_id", "left")
+    feat = F.struct(
+        F.col("feature_id"), F.col("kind"), F.col("geom"), F.col("props"))
+    return (j.groupBy("z", "x", "y")
+            .agg(_by_fid(F.collect_list(feat)).alias("features"))
+            .withColumn("n_features", F.size("features")))
 
 
 def tile_feature_lists(clipped: DataFrame, salt: int = 0) -> DataFrame:
@@ -616,13 +746,13 @@ def tile_feature_lists(clipped: DataFrame, salt: int = 0) -> DataFrame:
     salt > 0 → two-phase: agg by (z,x,y,salt buckets) first, then flatten and
     re-sort — bounds any single reducer's list size on hot city tiles
     (``BASELINE.json:6,14``; collect_list has no partial-merge, SURVEY §4.2).
+    (Nested-schema variant, kept for CLIP_SCHEMA inputs; build_tile_features
+    uses tile_feature_lists_flat + enrich_tile_features.)
     """
     feat = F.struct(
         F.col("feature_id"), F.col("kind"), F.col("geom"), F.col("props"))
 
-    def by_fid(arr):  # maps aren't orderable → explicit comparator on the id
-        return F.array_sort(arr, lambda l, r: F.when(l.feature_id < r.feature_id, -1)
-                            .when(l.feature_id > r.feature_id, 1).otherwise(0))
+    by_fid = _by_fid
 
     if salt <= 1:
         return (clipped

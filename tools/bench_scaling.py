@@ -33,7 +33,7 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
-PROC_RUNS = int(os.environ.get("SCALING_PROC_RUNS", "3"))
+PROC_RUNS = int(os.environ.get("SCALING_PROC_RUNS", "5"))
 PAGES = os.environ.get("BENCH_PAGES", "400000")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SECTIONS = os.environ.get("SCALING_SECTIONS", "tile_pipeline,pip_join")
@@ -48,10 +48,18 @@ def run_once(cpus: int) -> dict:
                BENCH_ONLY=SECTIONS)
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
            os.path.join(ROOT, "bench.py")]
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         timeout=7200)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # a failed/hung child records an error row instead of crashing the
+    # whole multi-hour protocol (ADVICE r3)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=7200)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout cpus={cpus}"}
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        return {"error": f"no JSON from child cpus={cpus}",
+                "stderr_tail": out.stderr[-2000:]}
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -122,7 +130,7 @@ median; sections run in isolated JVMs; taskset-pinned cores; tmpfs shuffle
 | local[32] (4N) | {row(tput32)} | {PROC_RUNS} × {REPS} reps |
 
 **Scaling efficiency (tiles/sec, median-of-runs): {eff:.3f}** (target ≥ 0.8)
-Per-pairing efficiencies: {eff_tile} (spread {max(eff_tile) - min(eff_tile):.3f})
+Per-pairing efficiencies: {eff_tile} (spread {(max(eff_tile) - min(eff_tile)) if eff_tile else 0:.3f})
 
 ## PIP join (quadkey-bucketed point-in-polygon)
 
@@ -146,6 +154,12 @@ Wall time for protocol: {time.time() - t_start:.0f}s.
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(report)
+    # raw per-run artifact so the medians are re-derivable (VERDICT r3 #8)
+    raw_path = os.path.join(ROOT, "BENCH", "scaling_runs.json")
+    with open(raw_path, "w") as f:
+        json.dump({"order": order, "reps": REPS, "proc_runs": PROC_RUNS,
+                   "pages": PAGES, "sections": SECTIONS,
+                   "results": {str(k): v for k, v in results.items()}}, f, indent=1)
     print(json.dumps({
         "tput8": stats(tput8) if tput8 else None,
         "tput32": stats(tput32) if tput32 else None,

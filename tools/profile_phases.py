@@ -57,9 +57,10 @@ def main() -> None:
     from tile_gen_spark.sources.synth import gen_pages
     from tile_gen_spark.operators.extract import (extract_and_parse,
                                                   latest_per_url, validity_filter)
-    from tile_gen_spark.operators.tiles import (clip_points_relational,
-                                                clip_shapes_direct,
-                                                tile_feature_lists)
+    from tile_gen_spark.operators.tiles import (clip_points_flat,
+                                                clip_shapes_flat,
+                                                enrich_tile_features,
+                                                tile_feature_lists_flat)
 
     spark = get_spark("profile", master=f"local[{cpus}]",
                       shuffle_partitions=cpus * 2)
@@ -106,18 +107,20 @@ def main() -> None:
             StorageLevel.MEMORY_AND_DISK)
         timed("extract_parse", lambda: noop(feats))
 
-        pts = clip_points_relational(
+        pts = clip_points_flat(
             feats.filter(F.col("kind") == "point"), ZOOMS)
         timed("clip_points", lambda: noop(pts))
 
-        shp = clip_shapes_direct(
+        shp = clip_shapes_flat(
             feats.filter(F.col("kind") != "point"), ZOOMS)
         clipped = pts.unionByName(shp).persist(StorageLevel.MEMORY_AND_DISK)
         # clip_shapes includes its repartition shuffle + the python clip;
         # clipped persists so the agg phase doesn't re-run it
         timed("clip_shapes", lambda: noop(clipped))
 
-        tiles = tile_feature_lists(clipped, salt=8)
+        tiles = enrich_tile_features(
+            tile_feature_lists_flat(clipped, salt=8),
+            feats.select("feature_id", "kind", "props"))
         timed("salted_agg", lambda: tiles.select(
             F.count("*"), F.sum("n_features")).first())
 
