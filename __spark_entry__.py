@@ -441,8 +441,27 @@ def _run_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_points") >= 2))
 
 
+def q_s2_cells_oracle(d: str) -> str:
+    """DuckDB twin of the level-6 HILBERT rollup (r4 — was rows-only): level-6
+    quadtree floors (≡ the kernel's level-30 floors shifted down 24, by floor
+    nesting) fed through sqlgen.hilbert_ctes, whose 6 unrolled stages match
+    cells._hilbert_d bit-for-bit; the level-30 Hilbert id shifted right 48 ≡
+    the level-6 Hilbert id by the curve's prefix property (pinned by
+    tests/test_functions.py::test_hilbert_sql_matches_kernel)."""
+    pts = _points_cte(d)
+    ix = S.s2_quad_ix("lon", 6)
+    iy = S.s2_quad_iy("lat", 6)
+    ctes, last = S.hilbert_ctes("pts", "", ix, iy, 6)
+    return (f"WITH pts AS ({pts}),\n{ctes}\n"
+            f"SELECT hd AS c6, CAST(count(*) AS BIGINT) AS n_points "
+            f"FROM {last} GROUP BY 1 HAVING count(*) >= 2")
+
+
 def _run_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6 rows-only: S2-lite parent rollup (level 30 → 6)."""
+    """G6: S2-lite Hilbert parent rollup (level 30 → 6), fully oracled (r4):
+    Spark computes the level-30 Hilbert id via the numpy kernel and shifts
+    right 2·24; the oracle recomputes the level-6 id from scratch in pure
+    SQL (floors + 6 unrolled Hilbert stages) on DuckDB."""
     from pyspark.sql import functions as F
     from tile_gen_spark.operators.knn import s2_cell_udf
 
@@ -755,7 +774,7 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "knn_embeddings": (_run_knn_embeddings, q_knn_embeddings),
     "extract_text_sha": (_run_extract_text, q_extract_text_oracle),
     "hex_cells": (_run_hex_cells, q_hex_cells_oracle),
-    "s2_cells": (_run_s2_cells, None),
+    "s2_cells": (_run_s2_cells, q_s2_cells_oracle),
     "s2_quadtree_rollup": (_run_s2_quadtree, q_s2_quadtree_oracle),
     "approx_distinct": (_run_approx_distinct, q_approx_distinct_oracle),
     "ann_lsh_recall": (_run_ann_lsh, None),

@@ -235,3 +235,34 @@ def test_clip_fast_matches_numpy():
         assert a.shape[0] == len(b)
         if len(b):
             assert np.allclose(a, np.asarray(b), atol=0, rtol=0)
+
+
+def test_hilbert_sql_matches_kernel():
+    """sqlgen.hilbert_ctes (the cross-engine S2 oracle text) == the numpy
+    kernel _hilbert_d on the full order-6 grid, run on DuckDB; and the
+    level-30 kernel id shifted right 2*24 == the level-6 id computed from
+    the floored coords (the prefix property the oracle relies on)."""
+    import duckdb
+    import numpy as np
+    from tile_gen_spark.functions import cells as C
+    from tile_gen_spark.plans import sqlgen as S
+
+    # full 64x64 grid at order 6
+    ix, iy = np.meshgrid(np.arange(64), np.arange(64))
+    ix, iy = ix.ravel().astype(np.int64), iy.ravel().astype(np.int64)
+    want = C._hilbert_d(ix, iy, 6)
+    con = duckdb.connect()
+    con.register("grid", __import__("pandas").DataFrame({"gx": ix, "gy": iy}))
+    ctes, last = S.hilbert_ctes("grid", "gx, gy", "gx", "gy", 6)
+    got = con.sql(f"WITH {ctes} SELECT gx, gy, hd FROM {last}").df()
+    got_d = {(r.gx, r.gy): r.hd for r in got.itertuples()}
+    assert all(got_d[(int(x), int(y))] == int(d)
+               for x, y, d in zip(ix, iy, want))
+
+    # prefix property: level-30 Hilbert >> 48 == level-6 Hilbert of ix>>24
+    rng = np.random.default_rng(7)
+    ix30 = rng.integers(0, 1 << 30, 500, dtype=np.int64)
+    iy30 = rng.integers(0, 1 << 30, 500, dtype=np.int64)
+    d30 = C._hilbert_d(ix30, iy30, 30)
+    d6 = C._hilbert_d(ix30 >> 24, iy30 >> 24, 6)
+    assert np.array_equal(d30 >> 48, d6)

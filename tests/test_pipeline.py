@@ -531,3 +531,46 @@ def test_flat_pipeline_equals_reference_nested(spark, features):
             os.environ["TILEGEN_FASTPATH"] = old_env
     assert len(ref) > 50
     assert new == ref
+
+
+def test_ann_recall_clustered_regime(spark):
+    """VERDICT r3 #7: the driver's synthetic embeddings are near-uniform
+    (IVF's worst case); this pins the OTHER regime — strongly clustered
+    embeddings, where hyperplane LSH is the weaker method (intra-cluster
+    neighbors subtend tiny angles, so few of the random hyperplanes split
+    them informatively and buckets blow up/collapse). Both ANN paths must
+    still clear the driver floors against exact cosine top-k."""
+    import numpy as np
+    import __spark_entry__ as E
+    from tile_gen_spark.operators.knn import (knn_embeddings,
+                                              knn_embeddings_ivf,
+                                              knn_embeddings_lsh)
+
+    rng = np.random.default_rng(11)
+    n_clusters, per, dim = 12, 120, 64
+    centers = rng.normal(size=(n_clusters, dim)) * 3.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim)) * 0.15
+        for p in pts:
+            rows.append((vid, [float(v) for v in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    q = emb.filter(F.col("vec_id") % 48 == 0)
+
+    exact = knn_embeddings(q, emb, k=5).select("query_id", "neighbor_id").cache()
+    total = exact.count()
+    assert total > 0
+
+    def recall(approx):
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        return 100.0 * hits / total
+
+    lsh = knn_embeddings_lsh(q, emb, k=5, bits=32, bands=16, dim=dim).select(
+        "query_id", "neighbor_id")
+    ivf = knn_embeddings_ivf(q, emb, k=5, n_centroids=24, nprobe=8).select(
+        "query_id", "neighbor_id")
+    r_lsh, r_ivf = recall(lsh), recall(ivf)
+    assert r_lsh >= E.ANN_LSH_RECALL_FLOOR, f"clustered LSH recall {r_lsh}"
+    assert r_ivf >= E.ANN_IVF_RECALL_FLOOR, f"clustered IVF recall {r_ivf}"

@@ -19,7 +19,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMAT = os.environ.get("TILEGEN_TABLE_FORMAT", "parquet")  # or "iceberg"
+def _format() -> str:
+    """Table format, re-read per call (not import time) so a config change —
+    or a test — can swap formats without a module reload."""
+    return os.environ.get("TILEGEN_TABLE_FORMAT", "parquet")  # or "iceberg"
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -27,7 +30,7 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """S1: schema-enforced pages scan (declared, never inferred)."""
-    if FORMAT == "iceberg":
+    if _format() == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
@@ -35,7 +38,7 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 def write_pages(pages: DataFrame, path: str, mode: str = "overwrite") -> None:
     out = pages.withColumn("warc_day", F.to_date("warc_ts"))
     w = out.write.mode(mode).partitionBy("warc_day")
-    (w.format("iceberg").saveAsTable(path) if FORMAT == "iceberg"
+    (w.format("iceberg").saveAsTable(path) if _format() == "iceberg"
      else w.parquet(path))
 
 
@@ -51,11 +54,11 @@ def cluster_tiles(tiles: DataFrame) -> DataFrame:
 def write_tiles(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S4: zoom-partitioned tile sink, clustered within partitions (O2)."""
     w = cluster_tiles(tiles).write.mode(mode).partitionBy("z")
-    (w.format("iceberg").saveAsTable(path) if FORMAT == "iceberg"
+    (w.format("iceberg").saveAsTable(path) if _format() == "iceberg"
      else w.parquet(path))
 
 
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
-    if FORMAT == "iceberg":
+    if _format() == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)
