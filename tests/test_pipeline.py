@@ -523,14 +523,18 @@ def test_flat_pipeline_equals_reference_nested(spark, features):
         os.environ["TILEGEN_FASTPATH"] = "0"
         ref = canon(build_tile_features(features, zooms, salt=0))
         os.environ["TILEGEN_FASTPATH"] = "1"
-        new = canon(build_tile_features(features, zooms, salt=2))
+        new_dim = canon(build_tile_features(features, zooms, salt=2,
+                                            props_mode="dim"))
+        new_inl = canon(build_tile_features(features, zooms, salt=2,
+                                            props_mode="inline"))
     finally:
         if old_env is None:
             os.environ.pop("TILEGEN_FASTPATH", None)
         else:
             os.environ["TILEGEN_FASTPATH"] = old_env
     assert len(ref) > 50
-    assert new == ref
+    assert new_dim == ref
+    assert new_inl == ref
 
 
 def test_ann_recall_clustered_regime(spark):

@@ -155,3 +155,29 @@ def test_flat_agg_enrich_is_exchange_free(spark):
     assert "BroadcastExchange" in plan
     # nested-geom rebuild is pure Catalyst: no Python nodes anywhere
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dim_agg_props_skip_all_exchanges(spark):
+    """Default props_mode="dim" plan shape (tile_feature_lists_dim): exactly
+    the two salted exchanges (lean rows — no kind/props columns in either
+    exchange's Input) plus one BroadcastExchange for the dim; the final
+    full-width collect adds NO shuffle."""
+    from tile_gen_spark.operators.tiles import tile_feature_lists_dim
+    clipped = spark.range(200).select(
+        (F.col("id") % 2).cast("int").alias("z"), (F.col("id") % 4).alias("x"),
+        (F.col("id") % 3).alias("y"), F.col("id").alias("feature_id"),
+        F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("geom"),
+        F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off"))
+    dim = spark.range(200).select(
+        F.col("id").alias("feature_id"), F.lit("point").alias("kind"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("props"))
+    out = tile_feature_lists_dim(clipped, dim, salt=4)
+    plan = _plan(out)
+    n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffle == 2, plan
+    assert "BroadcastExchange" in plan
+    # kind/props must not appear in any shuffle Exchange's Input row
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert "kind" not in cols and "props" not in cols, cols
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -664,32 +664,116 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
                     F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off")))
 
 
+#: inline-mode finisher: rebuild the public nested struct from the flat agg
+#: output in ONE Catalyst projection (no explode, no join, no re-agg).
+INLINE_NEST_EXPR = (
+    "transform(features, f -> named_struct("
+    "'feature_id', f.feature_id, 'kind', f.kind, "
+    "'geom', transform(sequence(1, size(f.off) - 1), "
+    "i -> slice(f.geom, f.off[i-1] + 1, f.off[i] - f.off[i-1])), "
+    "'props', f.props))")
+
+
 def build_tile_features(features: DataFrame, zooms: list[int],
-                        salt: int = 0, extent: int = K.MVT_EXTENT) -> DataFrame:
+                        salt: int = 0, extent: int = K.MVT_EXTENT,
+                        props_mode: str | None = None) -> DataFrame:
     """EP2 pipeline: features → clipped per-tile rows → MVT-equivalent lists.
 
     Points take the zero-Python relational path; shapes take the single-pass
     Arrow path. r4: the whole clip→agg pipeline runs on the FLAT transport
-    (no nested geom headers, no per-tile-row kind/props); the public nested
-    schema is reassembled once post-agg (enrich_tile_features), cutting both
-    salted-agg exchanges to roughly half their r3 bytes.
+    (geom as one flat int array + ring offsets — no nested-array headers in
+    Arrow or the shuffles); the public nested schema is rebuilt relationally
+    at the end. ``props_mode`` picks how kind/props travel (both measured,
+    both exact — see BENCH/BASELINE.md):
+
+    - ``"inline"`` (default): a map-side broadcast dim join attaches
+      kind/props to the flat rows AFTER the Arrow clip (they never cross
+      Python) but BEFORE the agg, so they ride both salted exchanges; the
+      nested view is then ONE projection (INLINE_NEST_EXPR) — no second
+      aggregation. Best when props are small relative to geometry.
+    - ``"dim"``: kind/props never enter any exchange — the agg runs on
+      (feature_id, geom, off) only and enrich_tile_features joins the dim
+      back post-agg (explode → broadcast join → re-agg, zero added
+      shuffles). Minimum possible shuffle bytes; pays a second (exchange-
+      free) collect pass — wins when props are WIDE (real-world tags) or
+      the agg is shuffle-bound.
     TILEGEN_FASTPATH=0 falls back to the fully nested reference pipeline."""
     if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
         pts = clip_points_relational(features.filter(F.col("kind") == "point"), zooms, extent)
         shp = clip_shapes_direct(features.filter(F.col("kind") != "point"), zooms, extent)
         return tile_feature_lists(pts.unionByName(shp), salt=salt)
+    props_mode = props_mode or os.environ.get("TILEGEN_PROPS_MODE", "dim")
     pts = clip_points_flat(features.filter(F.col("kind") == "point"), zooms, extent)
     shp = clip_shapes_flat(features.filter(F.col("kind") != "point"), zooms, extent)
-    tiled = tile_feature_lists_flat(pts.unionByName(shp), salt=salt)
-    return enrich_tile_features(tiled, features.select("feature_id", "kind", "props"))
+    flat = pts.unionByName(shp)
+    dim = features.select("feature_id", "kind", "props")
+    if props_mode == "inline":
+        enriched = flat.join(F.broadcast(dim), "feature_id")
+        tiled = tile_feature_lists_flat(enriched, salt=salt,
+                                        extra=("kind", "props"))
+        return tiled.withColumn("features", F.expr(INLINE_NEST_EXPR))
+    if props_mode == "dim2":
+        # measured alternative kept for reference: lean agg end-to-end, then
+        # a full post-agg re-collect (enrich_tile_features)
+        tiled = tile_feature_lists_flat(flat, salt=salt)
+        return enrich_tile_features(tiled, dim)
+    return tile_feature_lists_dim(flat, dim, salt=salt)
 
 
-def tile_feature_lists_flat(clipped: DataFrame, salt: int = 0) -> DataFrame:
+def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
+                           broadcast_dim: bool = True) -> DataFrame:
+    """A1/A2 with the props dim joined AFTER the last exchange (default
+    props_mode="dim"): kind/props never enter ANY shuffle, and — unlike the
+    post-agg enrich variant — there is exactly ONE full-width collect, same
+    as the r3 agg count, so the 8-core (compute-bound) cost matches r3 while
+    the exchanges carry ~half the bytes.
+
+    Shape: [salted: lean partial collect per (z,x,y,salt) → lean exchange →
+    explode partials back to rows] → broadcast kind/props join + relational
+    geom re-nesting (both preserve the hash(z,x,y) partitioning, so the
+    final groupBy adds NO exchange) → single sorted full collect.
+    ``broadcast_dim=False`` falls back to a shuffle hash join on feature_id
+    for dims too big to broadcast (adds that join's exchange only).
+    """
+    d = dim.select("feature_id", "kind", "props")
+    d = F.broadcast(d) if broadcast_dim else d
+    spark = clipped.sparkSession
+    try:
+        n_agg = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_agg = spark.sparkContext.defaultParallelism
+
+    def finish(rows: DataFrame) -> DataFrame:
+        full = (nest_geom(rows).join(d, "feature_id", "left")
+                .select("z", "x", "y",
+                        F.struct("feature_id", "kind", "geom", "props").alias("f")))
+        return (full.groupBy("z", "x", "y")
+                .agg(_by_fid(F.collect_list("f")).alias("features"))
+                .withColumn("n_features", F.size("features")))
+
+    if salt <= 1:
+        return finish(clipped.repartition(n_agg, "z", "x", "y"))
+    lean = F.struct(F.col("feature_id"), F.col("geom"), F.col("off"))
+    two = (clipped
+           .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
+           .repartition(n_agg * 2, "z", "x", "y", "_salt")
+           .groupBy("z", "x", "y", "_salt")
+           .agg(F.collect_list(lean).alias("_part")))
+    rows = (two.repartition(n_agg, "z", "x", "y")
+            .select("z", "x", "y", F.explode("_part").alias("f"))
+            .select("z", "x", "y", F.col("f.feature_id").alias("feature_id"),
+                    F.col("f.geom").alias("geom"), F.col("f.off").alias("off")))
+    return finish(rows)
+
+
+def tile_feature_lists_flat(clipped: DataFrame, salt: int = 0,
+                            extra: tuple = ()) -> DataFrame:
     """A1/A2 over the FLAT transport: per-tile list of (feature_id, geom,
-    off) structs, sorted by feature_id. Same two-phase salted shape as
-    tile_feature_lists; the rows carry no kind/props and no nested arrays,
-    so both exchanges ship ~half the bytes (VERDICT r3 #1)."""
-    feat = F.struct(F.col("feature_id"), F.col("geom"), F.col("off"))
+    off[, *extra]) structs, sorted by feature_id. Same two-phase salted
+    shape as tile_feature_lists; the rows carry no nested arrays (and in
+    "dim" mode no kind/props), shrinking both exchanges (VERDICT r3 #1)."""
+    feat = F.struct(F.col("feature_id"),
+                    *[F.col(c) for c in ("geom", "off", *extra)])
     if salt <= 1:
         return (clipped
                 .groupBy("z", "x", "y")
