@@ -39,6 +39,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SECTIONS = os.environ.get("SCALING_SECTIONS", "tile_pipeline,pip_join")
 
 
+def _steal_snap() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor CPU-steal
+    accounting. Recorded per run because this VM shows episodic steal bursts
+    (measured 4-5% of all cores for ~30 s) that inflate long pinned runs,
+    the 8-core config worst; annotating each run lets the report separate
+    engine behavior from host noise."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return v[7], sum(v)
+
+
 def run_once(cpus: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
@@ -62,6 +73,15 @@ def run_once(cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
+def run_once_with_steal(cpus: int) -> dict:
+    s0, t0 = _steal_snap()
+    r = run_once(cpus)
+    s1, t1 = _steal_snap()
+    dt = max(t1 - t0, 1)
+    r["steal_pct_of_box"] = round(100.0 * (s1 - s0) / dt, 2)
+    return r
+
+
 def main() -> None:
     # ABBA interleave: 8,32,32,8,8,32,... — each adjacent pair is a
     # (N, 4N) comparison under near-identical machine state
@@ -71,7 +91,7 @@ def main() -> None:
     results: dict[int, list[dict]] = {8: [], 32: []}
     t_start = time.time()
     for cpus in order:
-        r = run_once(cpus)
+        r = run_once_with_steal(cpus)
         # bench.py's orchestrator reports tile throughput as the headline
         # "value"; normalize it back for the series math
         r.setdefault("tiles_per_sec", r.get("value", 0.0))
@@ -79,6 +99,7 @@ def main() -> None:
         print(json.dumps({"run": len(results[cpus]), "cpus": cpus,
                           "tiles_per_sec": r.get("tiles_per_sec"),
                           "joined_rows_per_sec": r.get("joined_rows_per_sec"),
+                          "steal_pct_of_box": r.get("steal_pct_of_box"),
                           "queries": r.get("queries")}), flush=True)
 
     def series(cpus: int, key: str) -> list[float]:

@@ -59,8 +59,7 @@ def main() -> None:
                                                   latest_per_url, validity_filter)
     from tile_gen_spark.operators.tiles import (clip_points_flat,
                                                 clip_shapes_flat,
-                                                enrich_tile_features,
-                                                tile_feature_lists_flat)
+                                                tile_feature_lists_dim)
 
     spark = get_spark("profile", master=f"local[{cpus}]",
                       shuffle_partitions=cpus * 2)
@@ -118,9 +117,8 @@ def main() -> None:
         # clipped persists so the agg phase doesn't re-run it
         timed("clip_shapes", lambda: noop(clipped))
 
-        tiles = enrich_tile_features(
-            tile_feature_lists_flat(clipped, salt=8),
-            feats.select("feature_id", "kind", "props"))
+        tiles = tile_feature_lists_dim(
+            clipped, feats.select("feature_id", "kind", "props"), salt=8)
         timed("salted_agg", lambda: tiles.select(
             F.count("*"), F.sum("n_features")).first())
 
