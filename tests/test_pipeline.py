@@ -578,3 +578,32 @@ def test_ann_recall_clustered_regime(spark):
     r_lsh, r_ivf = recall(lsh), recall(ivf)
     assert r_lsh >= E.ANN_LSH_RECALL_FLOOR, f"clustered LSH recall {r_lsh}"
     assert r_ivf >= E.ANN_IVF_RECALL_FLOOR, f"clustered IVF recall {r_ivf}"
+
+
+def test_dim_agg_shuffle_join_fallback(spark, features):
+    """tile_feature_lists_dim(broadcast_dim=False) — the huge-dim fallback
+    (shuffle hash join on feature_id instead of a broadcast) — must produce
+    exactly the broadcast path's tiles."""
+    from tile_gen_spark.operators.tiles import (clip_points_flat,
+                                                clip_shapes_flat,
+                                                tile_feature_lists_dim)
+
+    zooms = [4]
+    flat = clip_points_flat(features.filter("kind='point'"), zooms).unionByName(
+        clip_shapes_flat(features.filter("kind!='point'"), zooms))
+    dim = features.select("feature_id", "kind", "props")
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            out[(r["z"], r["x"], r["y"])] = tuple(
+                (f["feature_id"], f["kind"],
+                 tuple(tuple(p) for p in f["geom"]),
+                 tuple(sorted((f["props"] or {}).items())))
+                for f in r["features"])
+        return out
+
+    a = canon(tile_feature_lists_dim(flat, dim, salt=2, broadcast_dim=True))
+    b = canon(tile_feature_lists_dim(flat, dim, salt=2, broadcast_dim=False))
+    assert len(a) > 20
+    assert a == b
