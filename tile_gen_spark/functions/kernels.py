@@ -259,6 +259,18 @@ def _edges_cross_bboxes(r: np.ndarray, w: np.ndarray, s: np.ndarray,
     return hit
 
 
+def _tile_bounds_for(z: int, xx: np.ndarray, yy: np.ndarray):
+    """Lon/lat bounds (w, s, e, n) for tile-index arrays at zoom z — the
+    single expression set every covering path shares, so dense grid and
+    sparse candidates see bit-identical bbox floats."""
+    n_t = float(1 << z)
+    w = xx / n_t * 360.0 - 180.0
+    e = (xx + 1.0) / n_t * 360.0 - 180.0
+    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy / n_t))))
+    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (yy + 1.0) / n_t))))
+    return w, south, e, north
+
+
 def _tile_bounds_grid(z: int, x0: int, x1: int, y0: int, y1: int):
     """Vectorized bounds for the candidate grid [x0..x1]×[y0..y1] at zoom z.
     Returns (xx, yy, w, s, e, n) flat arrays of length K."""
@@ -266,19 +278,118 @@ def _tile_bounds_grid(z: int, x0: int, x1: int, y0: int, y1: int):
     ys = np.arange(y0, y1 + 1, dtype=np.int64)
     XX, YY = np.meshgrid(xs, ys)
     xx, yy = XX.ravel(), YY.ravel()
-    n_t = float(1 << z)
-    w = xx / n_t * 360.0 - 180.0
-    e = (xx + 1.0) / n_t * 360.0 - 180.0
-    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy / n_t))))
-    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (yy + 1.0) / n_t))))
+    w, south, e, north = _tile_bounds_for(z, xx, yy)
     return xx, yy, w, south, e, north
+
+
+def grid_cap() -> int:
+    """Candidate-grid cell cap above which covering kernels switch from the
+    dense bbox grid to the O(covered) sparse walk (TILEGEN_GRID_CAP)."""
+    import os
+    return int(os.environ.get("TILEGEN_GRID_CAP", "65536"))
+
+
+def _merc_fy(lat: np.ndarray, n_t: float) -> np.ndarray:
+    """Float (unfloored) tile-y at zoom with 2^z = n_t."""
+    lr = np.radians(np.clip(lat, -MAX_LAT, MAX_LAT))
+    return (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n_t
+
+
+def segment_candidate_tiles(r: np.ndarray, z: int, x0: int, x1: int,
+                            y0: int, y1: int) -> tuple[np.ndarray, np.ndarray]:
+    """O(covered)-size candidate tiles near the edges of polyline ``r``.
+
+    Per-segment column walk in float tile space: tile-x is linear in lon
+    (hence linear along a segment), and tile-y is a monotone Mercator
+    transform of lat with lat linear along the segment — so within one tile
+    column the segment's y-extent is exactly spanned by its values at the
+    column's entry/exit parameters. Candidates are widened ±1 tile on both
+    axes (covers boundary touches and float slop, which is ~1e-9 tiles — far
+    inside a whole-tile margin) and clamped to the vertex-tile bbox grid.
+    Callers re-apply the EXACT covering tests to these candidates, so the
+    only contract here is superset-of-edge-touched-tiles within the grid.
+    Returns unique (cx, cy), sorted by (cy, cx) = the dense grid's raster
+    order."""
+    n_t = float(1 << z)
+    lon = np.nan_to_num(r[:, 0], nan=0.0, posinf=180.0, neginf=-180.0)
+    lat = np.clip(np.nan_to_num(r[:, 1], nan=0.0, posinf=MAX_LAT,
+                                neginf=-MAX_LAT), -MAX_LAT, MAX_LAT)
+    fx = (lon + 180.0) / 360.0 * n_t
+    if fx.size < 2:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    ax, bx = fx[:-1], fx[1:]
+    ay, by = lat[:-1], lat[1:]
+    lo = np.maximum(np.floor(np.minimum(ax, bx)).astype(np.int64) - 1, x0)
+    hi = np.minimum(np.floor(np.maximum(ax, bx)).astype(np.int64) + 1, x1)
+    ncol = np.maximum(hi - lo + 1, 0)
+    seg = np.repeat(np.arange(ax.size), ncol)
+    off = np.arange(int(ncol.sum())) - np.repeat(np.cumsum(ncol) - ncol, ncol)
+    col = lo[seg] + off
+    dxs = bx[seg] - ax[seg]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_l = np.clip((col - ax[seg]) / dxs, 0.0, 1.0)
+        t_r = np.clip((col + 1.0 - ax[seg]) / dxs, 0.0, 1.0)
+    vert = dxs == 0.0
+    t_l = np.where(vert, 0.0, t_l)
+    t_r = np.where(vert, 1.0, t_r)
+    lat_l = ay[seg] + (by[seg] - ay[seg]) * t_l
+    lat_r = ay[seg] + (by[seg] - ay[seg]) * t_r
+    fy_l = _merc_fy(lat_l, n_t)
+    fy_r = _merc_fy(lat_r, n_t)
+    ylo = np.maximum(np.floor(np.minimum(fy_l, fy_r)).astype(np.int64) - 1, y0)
+    yhi = np.minimum(np.floor(np.maximum(fy_l, fy_r)).astype(np.int64) + 1, y1)
+    ny = np.maximum(yhi - ylo + 1, 0)
+    cx = np.repeat(col, ny)
+    cy = np.repeat(ylo, ny) + (np.arange(int(ny.sum()))
+                               - np.repeat(np.cumsum(ny) - ny, ny))
+    key = np.unique((cy << np.int64(32)) | cx)
+    return (key & np.int64(0xFFFFFFFF)), (key >> np.int64(32))
+
+
+def _covering_runs(cx: np.ndarray, cy: np.ndarray, x0: int, x1: int,
+                   y0: int, y1: int):
+    """Maximal horizontal runs of NON-candidate tiles per grid row.
+    Returns (ry, rxa, rxb) int64 arrays. Candidates must be unique and
+    sorted by (cy, cx)."""
+    ry: list[int] = []
+    rxa: list[int] = []
+    rxb: list[int] = []
+    ptr = 0
+    n = cx.size
+    for y in range(y0, y1 + 1):
+        prev = x0 - 1
+        while ptr < n and cy[ptr] == y:
+            xc = int(cx[ptr])
+            if xc > prev + 1:
+                ry.append(y)
+                rxa.append(prev + 1)
+                rxb.append(xc - 1)
+            prev = xc
+            ptr += 1
+        if x1 > prev:
+            ry.append(y)
+            rxa.append(prev + 1)
+            rxb.append(x1)
+    return (np.asarray(ry, np.int64), np.asarray(rxa, np.int64),
+            np.asarray(rxb, np.int64))
 
 
 def polygon_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
     """Tiles at zoom z whose bbox intersects the polygon. Returns (K,2) int64
     array of (x, y). Exact per the documented boundary rule (touch = cover).
-    Fully vectorized over the candidate grid: vertex-tile marking (O(V)),
-    corner-in-polygon ray cast and per-edge Liang–Barsky over all K tiles."""
+
+    Two physical strategies, same logical result:
+     - grid ≤ TILEGEN_GRID_CAP cells: dense — vertex-tile marking (O(V)),
+       corner-in-polygon ray cast and per-edge Liang–Barsky over all K tiles.
+     - grid > cap (bbox-sparse features — the r4 VERDICT worker-OOM risk): a
+       per-segment column walk enumerates O(covered) edge candidates, the
+       SAME three exact tests run on just those, and interior tiles come from
+       a scanline fill — any non-candidate run is uniformly in/out (an
+       in/out flip inside a run would put a polygon edge through a run
+       tile's closed bbox, making it a candidate), so one representative
+       corner ray-cast per run decides the whole run. Work and memory are
+       O(covered + V), not O(bbox area)."""
     r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
     if not np.allclose(r[0], r[-1]):
         r = np.vstack([r, r[0]])
@@ -286,19 +397,91 @@ def polygon_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
     tx, ty = point_to_tile(lons, lats, z)
     x0, x1 = int(tx.min()), int(tx.max())
     y0, y1 = int(ty.min()), int(ty.max())
-    xx, yy, w, s, e, n = _tile_bounds_grid(z, x0, x1, y0, y1)
-    nx = x1 - x0 + 1
+    if (x1 - x0 + 1) * (y1 - y0 + 1) <= grid_cap():
+        xx, yy, w, s, e, n = _tile_bounds_grid(z, x0, x1, y0, y1)
+        nx = x1 - x0 + 1
+        covered = np.zeros(xx.shape[0], dtype=bool)
+        # (a) vertex inside tile ⇔ the vertex's own tile
+        covered[(ty - y0) * nx + (tx - x0)] = True
+        # (b) tile corner inside polygon: 4K corner ray-casts in one pass
+        rem = ~covered
+        if np.any(rem):
+            cx = np.concatenate([w[rem], e[rem], e[rem], w[rem]])
+            cy = np.concatenate([s[rem], s[rem], n[rem], n[rem]])
+            hit4 = points_in_ring(cx, cy, r.ravel()).reshape(4, -1).any(axis=0)
+            covered[np.nonzero(rem)[0][hit4]] = True
+        # (c) polygon edge crosses the tile bbox
+        rem = ~covered
+        if np.any(rem):
+            hit = _edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
+            covered[np.nonzero(rem)[0][hit]] = True
+        return np.column_stack([xx[covered], yy[covered]])
+
+    # sparse path: candidates = edge walk ∪ vertex tiles
+    ex, ey = segment_candidate_tiles(r, z, x0, x1, y0, y1)
+    key = np.unique(np.concatenate([(ey << np.int64(32)) | ex,
+                                    (ty << np.int64(32)) | tx]))
+    xx = key & np.int64(0xFFFFFFFF)
+    yy = key >> np.int64(32)
+    w, s, e, n = _tile_bounds_for(z, xx, yy)
     covered = np.zeros(xx.shape[0], dtype=bool)
-    # (a) vertex inside tile ⇔ the vertex's own tile
-    covered[(ty - y0) * nx + (tx - x0)] = True
-    # (b) tile corner inside polygon: 4K corner ray-casts in one vector pass
+    covered[np.searchsorted(key, (ty << np.int64(32)) | tx)] = True
     rem = ~covered
     if np.any(rem):
         cx = np.concatenate([w[rem], e[rem], e[rem], w[rem]])
         cy = np.concatenate([s[rem], s[rem], n[rem], n[rem]])
         hit4 = points_in_ring(cx, cy, r.ravel()).reshape(4, -1).any(axis=0)
         covered[np.nonzero(rem)[0][hit4]] = True
-    # (c) polygon edge crosses the tile bbox
+    rem = ~covered
+    if np.any(rem):
+        hit = _edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
+        covered[np.nonzero(rem)[0][hit]] = True
+    # scanline fill of non-candidate runs (uniform in/out per run)
+    ry, rxa, rxb = _covering_runs(xx, yy, x0, x1, y0, y1)
+    if ry.size:
+        rw, rs, _, _ = _tile_bounds_for(z, rxa, ry)
+        fill = points_in_ring(rw, rs, r.ravel())
+        ry, rxa, rxb = ry[fill], rxa[fill], rxb[fill]
+        rl = rxb - rxa + 1
+        fx_ = np.repeat(rxa, rl) + (np.arange(int(rl.sum()))
+                                    - np.repeat(np.cumsum(rl) - rl, rl))
+        fy_ = np.repeat(ry, rl)
+        allk = np.concatenate([key[covered], (fy_ << np.int64(32)) | fx_])
+    else:
+        allk = key[covered]
+    allk = np.sort(allk)
+    return np.column_stack([allk & np.int64(0xFFFFFFFF),
+                            allk >> np.int64(32)])
+
+
+def line_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
+    """Tiles whose bbox a polyline touches — vertex-tile marking + per-edge
+    Liang–Barsky accept. Dense grid under TILEGEN_GRID_CAP cells; above it,
+    the segment column walk bounds candidates to O(covered) (same exact
+    accept test either way)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    lons, lats = r[:, 0], np.clip(r[:, 1], -MAX_LAT, MAX_LAT)
+    tx, ty = point_to_tile(lons, lats, z)
+    x0, x1 = int(tx.min()), int(tx.max())
+    y0, y1 = int(ty.min()), int(ty.max())
+    if (x1 - x0 + 1) * (y1 - y0 + 1) <= grid_cap():
+        xx, yy, w, s, e, n = _tile_bounds_grid(z, x0, x1, y0, y1)
+        nx = x1 - x0 + 1
+        covered = np.zeros(xx.shape[0], dtype=bool)
+        covered[(ty - y0) * nx + (tx - x0)] = True
+        rem = ~covered
+        if np.any(rem):
+            hit = _edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
+            covered[np.nonzero(rem)[0][hit]] = True
+        return np.column_stack([xx[covered], yy[covered]])
+    ex, ey = segment_candidate_tiles(r, z, x0, x1, y0, y1)
+    key = np.unique(np.concatenate([(ey << np.int64(32)) | ex,
+                                    (ty << np.int64(32)) | tx]))
+    xx = key & np.int64(0xFFFFFFFF)
+    yy = key >> np.int64(32)
+    w, s, e, n = _tile_bounds_for(z, xx, yy)
+    covered = np.zeros(xx.shape[0], dtype=bool)
+    covered[np.searchsorted(key, (ty << np.int64(32)) | tx)] = True
     rem = ~covered
     if np.any(rem):
         hit = _edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])

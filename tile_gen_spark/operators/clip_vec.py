@@ -392,12 +392,15 @@ def _covering_mask(n_rows, n_unit, unit_row, unit_base, ux, uy, west, south,
     return covered
 
 
-def _row_weights(b: pd.DataFrame) -> np.ndarray:
+def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Cheap per-row cost estimate for chunking: candidate-grid tile count x
     total ring vertices (the instance-array footprint the clip passes
     allocate). Uses ring-0's vertex-tile bbox only — an upper-bound proxy, not
-    the exact covering (which is what the clip itself computes)."""
+    the exact covering (which is what the clip itself computes). Returns
+    (weight, grid_cells) so slow_batch can route bbox-sparse rows (grid over
+    TILEGEN_GRID_CAP) to the sparse core."""
     w = np.empty(len(b), np.int64)
+    g = np.empty(len(b), np.int64)
     zs = b["_z"].to_numpy(np.int64)
     for i, (coords, z) in enumerate(zip(b["coords"], zs)):
         nv = sum(len(c) // 2 for c in coords)
@@ -407,20 +410,27 @@ def _row_weights(b: pd.DataFrame) -> np.ndarray:
                                     neginf=-K.MAX_LAT), -K.MAX_LAT, K.MAX_LAT)
         tx, ty = K.point_to_tile(lon, lat, int(z))
         grid = (int(tx.max()) - int(tx.min()) + 1) * (int(ty.max()) - int(ty.min()) + 1)
+        g[i] = grid
         w[i] = max(grid * nv, 1)
-    return w
+    return w, g
 
 
 def slow_batch(b: pd.DataFrame, extent: int,
                cap: int | None = None) -> pd.DataFrame:
     """One Arrow batch of multi-tile (feature, _z) rows → clipped tile rows.
 
-    Memory-bounded: the core materializes per-(tile, ring) instance arrays
-    for the whole batch at once — O(covering_tiles x ring_vertices) float64
-    across four Sutherland-Hodgman passes — so a skewed batch of large
-    low-zoom polygons (~10^3 covering tiles) is split into sub-batches whose
-    estimated instance-vertex total stays under ``cap``
-    (TILEGEN_SLOW_CAP, default 8M ~ 64 MB per float64 work array).
+    Memory-bounded two ways:
+     - a skewed batch of large low-zoom polygons (~10^3 covering tiles) is
+       split into sub-batches whose estimated instance-vertex total stays
+       under ``cap`` (TILEGEN_SLOW_CAP, default 8M ~ 64 MB per float64 work
+       array), since the core materializes per-(tile, ring) instance arrays
+       for the whole batch at once;
+     - a bbox-sparse row (candidate grid over TILEGEN_GRID_CAP cells — e.g. a
+       continent-spanning diagonal line at z12, whose full bbox grid would be
+       ~16.7M cells for O(10^3) actually-covered tiles) routes to
+       _sparse_core, which enumerates the EXACT covering via the O(covered)
+       kernels and clips only those units, in tile chunks sized to ``cap``.
+    Contiguous splits preserve row order => output order.
     """
     import os
     n_rows = len(b)
@@ -428,37 +438,79 @@ def slow_batch(b: pd.DataFrame, extent: int,
         return _empty_frame()
     if cap is None:
         cap = int(os.environ.get("TILEGEN_SLOW_CAP", "8000000"))
-    w = _row_weights(b)
-    if int(w.sum()) <= cap:
+    w, g = _row_weights(b)
+    gcap = K.grid_cap()
+    if int(w.sum()) <= cap and int(g.max()) <= gcap:
         return _slow_core(b, extent)
-    # greedy contiguous split (preserves row order => output order)
-    cuts = [0]
+    # greedy contiguous split; oversized-grid rows go alone to _sparse_core
+    parts: list[pd.DataFrame] = []
+    start = 0
     acc = 0
+
+    def flush(end: int) -> None:
+        nonlocal start, acc
+        if end > start:
+            parts.append(_slow_core(b.iloc[start:end], extent))
+        start = end
+        acc = 0
+
     for i in range(n_rows):
+        if g[i] > gcap:
+            flush(i)
+            parts.append(_sparse_core(b.iloc[i:i + 1], extent, cap))
+            start = i + 1
+            continue
         if acc and acc + w[i] > cap:
-            cuts.append(i)
-            acc = 0
+            flush(i)
         acc += int(w[i])
-    cuts.append(n_rows)
-    parts = [_slow_core(b.iloc[s:e], extent)
-             for s, e in zip(cuts[:-1], cuts[1:]) if e > s]
+    flush(n_rows)
+    parts = [p for p in parts if len(p)]
     return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
 
 
-def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
-    """Mirrors the reference per-row loop (TILEGEN_FASTPATH=0 in
-    tiles.clip_shapes_direct) output-for-output (modulo the r4 flat geom/off
-    transport); see module docstring.
-    """
-    n_rows = len(b)
-    if n_rows == 0:
-        return _empty_frame()
-    kinds = b["kind"].to_numpy()
-    zs = b["_z"].to_numpy(np.int64)
-    fids = b["feature_id"].to_numpy()
-    is_line_row = kinds == "line"
+def _sparse_core(b: pd.DataFrame, extent: int, cap: int) -> pd.DataFrame:
+    """Bbox-sparse rows: exact covering via the O(covered) scalar kernels,
+    then the same batched clip over exactly those (tile, feature) units —
+    per-row work and memory are O(covered x vertices), never O(bbox area).
+    Covering is precomputed, so the unit mask is all-true; tile chunks are
+    sized so chunk_tiles x ring_vertices stays under ``cap``."""
+    parts: list[pd.DataFrame] = []
+    for i in range(len(b)):
+        row = b.iloc[i:i + 1]
+        is_line_row = row["kind"].to_numpy() == "line"
+        z = int(row["_z"].iloc[0])
+        (ring_len, verts, ring_start, row_ring_count,
+         row_first_ring) = _flatten_rings(row, is_line_row)
+        r0 = ring_start[0]
+        ring0 = verts[r0:r0 + ring_len[0]].ravel()
+        if is_line_row[0]:
+            tiles = K.line_covering_tiles(ring0, z)
+        else:
+            tiles = K.polygon_covering_tiles(ring0, z)
+        if tiles.shape[0] == 0:
+            continue
+        nv = max(int(ring_len.sum()), 1)
+        step = max(int(cap // nv), 1)
+        fid = row["feature_id"].iloc[0]
+        for s in range(0, tiles.shape[0], step):
+            t = tiles[s:s + step]
+            ku = t.shape[0]
+            ux = t[:, 0].astype(np.int64)
+            uy = t[:, 1].astype(np.int64)
+            west, south, east, north = K._tile_bounds_for(z, ux, uy)
+            parts.append(_clip_units(
+                is_line_row, row_ring_count, row_first_ring, ring_len,
+                ring_start, verts, np.zeros(ku, np.int64),
+                np.full(ku, z, np.int64), ux, uy, np.full(ku, fid, np.int64),
+                west, south, east, north, np.ones(ku, bool), extent))
+    parts = [p for p in parts if len(p)]
+    return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
 
-    # --- flatten rings (lines: ring 0 only; polys: strip exact closing) ----
+
+def _flatten_rings(b: pd.DataFrame, is_line_row: np.ndarray):
+    """Flatten rings (lines: ring 0 only; polys: strip exact closing).
+    Returns (ring_len, verts, ring_start, row_ring_count, row_first_ring)."""
+    n_rows = len(b)
     ring_list: list[np.ndarray] = []
     ring_len_l: list[int] = []
     row_ring_count = np.empty(n_rows, np.int64)
@@ -480,6 +532,24 @@ def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
     verts = (np.concatenate(ring_list) if ring_list else np.zeros(0)).reshape(-1, 2)
     ring_start = np.cumsum(ring_len) - ring_len
     row_first_ring = np.concatenate([[0], np.cumsum(row_ring_count)])
+    return ring_len, verts, ring_start, row_ring_count, row_first_ring
+
+
+def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
+    """Mirrors the reference per-row loop (TILEGEN_FASTPATH=0 in
+    tiles.clip_shapes_direct) output-for-output (modulo the r4 flat geom/off
+    transport); see module docstring.
+    """
+    n_rows = len(b)
+    if n_rows == 0:
+        return _empty_frame()
+    kinds = b["kind"].to_numpy()
+    zs = b["_z"].to_numpy(np.int64)
+    fids = b["feature_id"].to_numpy()
+    is_line_row = kinds == "line"
+
+    (ring_len, verts, ring_start, row_ring_count,
+     row_first_ring) = _flatten_rings(b, is_line_row)
 
     # --- candidate grid per row: ring-0 vertex-tile bbox (the covering
     # kernel's candidate grid) ----------------------------------------------
@@ -518,15 +588,26 @@ def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
     north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * uy / n_t))))
     south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (uy + 1.0) / n_t))))
 
-    unit_fid = fids[unit_row]
-    rows: dict[str, list] = {k: [] for k in CLIP_COLUMNS}
-
     # --- covering filter: keep only tiles the reference covering kernels
     # would emit (grid candidates outside the geometry would otherwise leak
     # rare quantization slivers past the degenerate-drop) -------------------
     cov = _covering_mask(n_rows, n_unit, unit_row, unit_base, ux, uy,
                          west, south, east, north, verts, ring_start[r0], L0,
                          xt, yt, x0, y0, gx, is_line_row)
+    return _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
+                       ring_start, verts, unit_row, unit_z, ux, uy,
+                       fids[unit_row], west, south, east, north, cov, extent)
+
+
+def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
+                ring_start, verts, unit_row, unit_z, ux, uy, unit_fid,
+                west, south, east, north, cov, extent) -> pd.DataFrame:
+    """Clip + quantize + finalize + assemble over an explicit unit set (one
+    unit = one (tile, row) pair). Shared by _slow_core (dense grid units,
+    covering-masked) and _sparse_core (exact covering units, cov all-true)."""
+    n_unit = unit_row.size
+    r0 = row_first_ring[:-1]
+    rows: dict[str, list] = {k: [] for k in CLIP_COLUMNS}
 
     # --- polygons -----------------------------------------------------------
     pu = np.nonzero(~is_line_row[unit_row] & cov)[0]

@@ -160,22 +160,9 @@ def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
 
 
 def _line_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
-    """Tiles whose bbox a polyline touches — vectorized over the candidate
-    grid (vertex-tile marking + per-edge Liang–Barsky accept)."""
-    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
-    lons, lats = r[:, 0], np.clip(r[:, 1], -K.MAX_LAT, K.MAX_LAT)
-    tx, ty = K.point_to_tile(lons, lats, z)
-    x0, x1 = int(tx.min()), int(tx.max())
-    y0, y1 = int(ty.min()), int(ty.max())
-    xx, yy, w, s, e, n = K._tile_bounds_grid(z, x0, x1, y0, y1)
-    nx = x1 - x0 + 1
-    covered = np.zeros(xx.shape[0], dtype=bool)
-    covered[(ty - y0) * nx + (tx - x0)] = True
-    rem = ~covered
-    if np.any(rem):
-        hit = K._edges_cross_bboxes(r, w[rem], s[rem], e[rem], n[rem])
-        covered[np.nonzero(rem)[0][hit]] = True
-    return np.column_stack([xx[covered], yy[covered]])
+    """Tiles whose bbox a polyline touches (kernels.line_covering_tiles:
+    dense grid under TILEGEN_GRID_CAP, O(covered) segment walk above)."""
+    return K.line_covering_tiles(ring, z)
 
 
 def assign_features(features: DataFrame, zooms: list[int]) -> DataFrame:
