@@ -560,9 +560,12 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
 
     # production path: flat core + relational nested view + per-FEATURE
     # kind/props rejoin (parity pytest compares this whole composition —
-    # flat kernels AND reconstruction — against the per-row loop above)
+    # flat kernels AND reconstruction — against the per-row loop above).
+    # The dim join follows the TILEGEN_BROADCAST_DIM policy (default
+    # broadcast: without the hint Catalyst planned a wide shuffle join AND
+    # re-ran the shapes lineage scan on the dim side — ADVICE r4 #3)
     flat = clip_shapes_flat(shapes, zooms, extent)
-    dim = shapes.select("feature_id", "kind", "props")
+    dim = _dim_join_side(shapes.select("feature_id", "kind", "props"), None)
     return (nest_geom(flat).join(dim, "feature_id")
             .select("z", "x", "y", "feature_id", "kind", "geom", "props"))
 
@@ -661,9 +664,24 @@ INLINE_NEST_EXPR = (
     "'props', f.props))")
 
 
+def _dim_join_side(dim: DataFrame, broadcast_dim: bool | None) -> DataFrame:
+    """Resolve how the per-feature kind/props dim enters a join:
+    True → force broadcast (bypasses autoBroadcastJoinThreshold — right when
+    the dim is known to fit executor memory, the measured local default);
+    False → unhinted, so Catalyst/AQE picks broadcast vs shuffle from the
+    dim's actual size — the non-code escape hatch for O(total features) dims
+    with wide props at cluster scale (ADVICE r4 #1). When None, the
+    TILEGEN_BROADCAST_DIM env (1|0|auto; unset → 1) decides."""
+    if broadcast_dim is None:
+        v = os.environ.get("TILEGEN_BROADCAST_DIM", "1").strip().lower()
+        broadcast_dim = v in ("1", "true", "yes")
+    return F.broadcast(dim) if broadcast_dim else dim
+
+
 def build_tile_features(features: DataFrame, zooms: list[int],
                         salt: int = 0, extent: int = K.MVT_EXTENT,
-                        props_mode: str | None = None) -> DataFrame:
+                        props_mode: str | None = None,
+                        broadcast_dim: bool | None = None) -> DataFrame:
     """EP2 pipeline: features → clipped per-tile rows → MVT-equivalent lists.
 
     Points take the zero-Python relational path; shapes take the single-pass
@@ -673,17 +691,20 @@ def build_tile_features(features: DataFrame, zooms: list[int],
     at the end. ``props_mode`` picks how kind/props travel (both measured,
     both exact — see BENCH/BASELINE.md):
 
-    - ``"inline"`` (default): a map-side broadcast dim join attaches
-      kind/props to the flat rows AFTER the Arrow clip (they never cross
-      Python) but BEFORE the agg, so they ride both salted exchanges; the
-      nested view is then ONE projection (INLINE_NEST_EXPR) — no second
-      aggregation. Best when props are small relative to geometry.
-    - ``"dim"``: kind/props never enter any exchange — the agg runs on
+    - ``"inline"``: a map-side broadcast dim join attaches kind/props to
+      the flat rows AFTER the Arrow clip (they never cross Python) but
+      BEFORE the agg, so they ride both salted exchanges; the nested view is
+      then ONE projection (INLINE_NEST_EXPR) — no second aggregation. Best
+      when props are small relative to geometry.
+    - ``"dim"`` (default): kind/props never enter any exchange — the agg runs on
       (feature_id, geom, off) only and enrich_tile_features joins the dim
       back post-agg (explode → broadcast join → re-agg, zero added
       shuffles). Minimum possible shuffle bytes; pays a second (exchange-
       free) collect pass — wins when props are WIDE (real-world tags) or
       the agg is shuffle-bound.
+    ``broadcast_dim``: True forces the kind/props dim broadcast, False
+    leaves the join unhinted (AQE sizes it), None reads
+    TILEGEN_BROADCAST_DIM (the huge-dim escape hatch, no code change).
     TILEGEN_FASTPATH=0 falls back to the fully nested reference pipeline."""
     if os.environ.get("TILEGEN_FASTPATH", "1") == "0":
         pts = clip_points_relational(features.filter(F.col("kind") == "point"), zooms, extent)
@@ -695,7 +716,7 @@ def build_tile_features(features: DataFrame, zooms: list[int],
     flat = pts.unionByName(shp)
     dim = features.select("feature_id", "kind", "props")
     if props_mode == "inline":
-        enriched = flat.join(F.broadcast(dim), "feature_id")
+        enriched = flat.join(_dim_join_side(dim, broadcast_dim), "feature_id")
         tiled = tile_feature_lists_flat(enriched, salt=salt,
                                         extra=("kind", "props"))
         return tiled.withColumn("features", F.expr(INLINE_NEST_EXPR))
@@ -703,12 +724,13 @@ def build_tile_features(features: DataFrame, zooms: list[int],
         # measured alternative kept for reference: lean agg end-to-end, then
         # a full post-agg re-collect (enrich_tile_features)
         tiled = tile_feature_lists_flat(flat, salt=salt)
-        return enrich_tile_features(tiled, dim)
-    return tile_feature_lists_dim(flat, dim, salt=salt)
+        return enrich_tile_features(tiled, dim, broadcast_dim=broadcast_dim)
+    return tile_feature_lists_dim(flat, dim, salt=salt,
+                                  broadcast_dim=broadcast_dim)
 
 
 def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
-                           broadcast_dim: bool = True) -> DataFrame:
+                           broadcast_dim: bool | None = None) -> DataFrame:
     """A1/A2 with the props dim joined AFTER the last exchange (default
     props_mode="dim"): kind/props never enter ANY shuffle, and — unlike the
     post-agg enrich variant — there is exactly ONE full-width collect, same
@@ -719,11 +741,11 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
     explode partials back to rows] → broadcast kind/props join + relational
     geom re-nesting (both preserve the hash(z,x,y) partitioning, so the
     final groupBy adds NO exchange) → single sorted full collect.
-    ``broadcast_dim=False`` falls back to a shuffle hash join on feature_id
-    for dims too big to broadcast (adds that join's exchange only).
+    ``broadcast_dim=False`` leaves the join unhinted — AQE picks a shuffle
+    join for dims too big to broadcast (adds that join's exchange only);
+    None reads TILEGEN_BROADCAST_DIM (default: force broadcast).
     """
-    d = dim.select("feature_id", "kind", "props")
-    d = F.broadcast(d) if broadcast_dim else d
+    d = _dim_join_side(dim.select("feature_id", "kind", "props"), broadcast_dim)
     spark = clipped.sparkSession
     try:
         n_agg = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -785,7 +807,7 @@ def tile_feature_lists_flat(clipped: DataFrame, salt: int = 0,
 
 
 def enrich_tile_features(tiled: DataFrame, dim: DataFrame,
-                         broadcast_dim: bool = True) -> DataFrame:
+                         broadcast_dim: bool | None = None) -> DataFrame:
     """Rebuild the public per-tile schema from the flat agg output: nested
     geom via the pure-Catalyst NEST_GEOM_EXPR, kind/props joined back ONCE
     per feature from the dim.
@@ -795,11 +817,11 @@ def enrich_tile_features(tiled: DataFrame, dim: DataFrame,
     join both preserve that partitioning, so the re-agg's ClusteredDistribution
     is already satisfied and Catalyst inserts NO new shuffle — the only added
     exchange is the dim broadcast (asserted by tests/test_plans.py).
-    ``broadcast_dim=False`` is the huge-dim fallback (shuffle hash join on
-    feature_id + one re-agg exchange) for feature dims too big to broadcast.
+    ``broadcast_dim=False`` is the huge-dim fallback (unhinted join — AQE
+    picks shuffle hash on feature_id + one re-agg exchange — for feature
+    dims too big to broadcast); None reads TILEGEN_BROADCAST_DIM.
     """
-    d = dim.select("feature_id", "kind", "props")
-    d = F.broadcast(d) if broadcast_dim else d
+    d = _dim_join_side(dim.select("feature_id", "kind", "props"), broadcast_dim)
     ex = (tiled.select("z", "x", "y", F.explode("features").alias("f"))
           .select("z", "x", "y", F.col("f.feature_id").alias("feature_id"),
                   F.col("f.geom").alias("geom"), F.col("f.off").alias("off")))
