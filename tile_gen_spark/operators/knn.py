@@ -173,22 +173,9 @@ def _cosine_cols():
     return dot / (na * nb)
 
 
-def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
-    """Exact cosine top-k: queries(vec_id, embedding) × corpus(vec_id, embedding).
-
-    Block nested loop, BLAS-vectorized: the (small) query matrix is collected
-    once and shipped in the task closure (the same broadcast the spec mandates
-    for the kNN cell index); each corpus Arrow batch computes ALL pairwise
-    sims in one matmul and emits only its per-query partial top-k, so the
-    shuffle into the global top-k window carries ≤ k·n_batches rows per query
-    instead of the full cross product. At 100 TB the corpus streams exactly
-    once. Returns (query_id, neighbor_id, cos_sim, rank); self-match excluded.
-    """
-    import pandas as pd
-
-    q_pd = (queries.select(F.col("vec_id").alias("query_id"),
-                           F.col("embedding").cast("array<double>").alias("e"))
-            .toPandas())
+def _emb_partial_topk(q_pd: pd.DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """One query block (collected pandas: query_id, e) × the corpus: per-batch
+    BLAS matmul, emit only each batch's per-query partial top-k."""
     qids = q_pd["query_id"].to_numpy(np.int64)
     Q = np.asarray(q_pd["e"].tolist(), dtype=np.float64)          # (Nq, D)
     qn = np.sqrt((Q * Q).sum(axis=1))
@@ -214,8 +201,51 @@ def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
                 "cos_sim": pd.Series(sim_v[keep], dtype="float64"),
             })
 
-    partial = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")) \
+    return corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")) \
         .mapInPandas(fn, "query_id bigint, neighbor_id bigint, cos_sim double")
+
+
+def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   query_block: int | None = None) -> DataFrame:
+    """Exact cosine top-k: queries(vec_id, embedding) × corpus(vec_id, embedding).
+
+    Block nested loop, BLAS-vectorized: a query block is collected and
+    shipped in the task closure (the same broadcast the spec mandates for
+    the kNN cell index); each corpus Arrow batch computes ALL pairwise sims
+    in one matmul and emits only its per-query partial top-k, so the shuffle
+    into the global top-k window carries ≤ k·n_batches rows per query
+    instead of the full cross product.
+
+    Driver memory is bounded by ``query_block`` (TILEGEN_KNN_QUERY_BLOCK,
+    default 65536 rows ≈ 64 MB at D=128 float64): a bigger query set is
+    split into deterministic hash blocks, each streaming the corpus once —
+    corpus passes = n_blocks, so size the block to your driver (or use
+    knn_embeddings_ivf, where neither side is collected whole). With
+    n_queries ≤ block (the common queries ≪ corpus shape) the corpus
+    streams exactly once. Returns (query_id, neighbor_id, cos_sim, rank);
+    self-match excluded. Block-partitioning is exact: blocks partition the
+    query set, and each query's global top-k is computed within its block.
+    """
+    import os
+    if query_block is None:
+        query_block = int(os.environ.get("TILEGEN_KNN_QUERY_BLOCK", "65536"))
+    q_sel = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").cast("array<double>").alias("e"))
+    n_q = q_sel.count()
+    if n_q <= query_block:
+        partial = _emb_partial_topk(q_sel.toPandas(), corpus, k)
+    else:
+        n_blocks = -(-n_q // query_block)
+        blocked = q_sel.withColumn(
+            "_b", F.pmod(F.xxhash64("query_id"), F.lit(n_blocks)))
+        parts = []
+        for i in range(n_blocks):
+            q_pd = blocked.filter(F.col("_b") == i).drop("_b").toPandas()
+            if len(q_pd):
+                parts.append(_emb_partial_topk(q_pd, corpus, k))
+        partial = parts[0]
+        for p in parts[1:]:
+            partial = partial.unionByName(p)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
