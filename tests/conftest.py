@@ -28,3 +28,7 @@ def features(spark, pages):
     latest = latest_per_url(pages)
     ex = latest.withColumn("etext", extract_text("html"))
     return validity_filter(parse_geo_features(ex, "etext")).cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running protocol smoke tests")

@@ -38,15 +38,38 @@ EMBED_SCHEMA = "media_id bigint, kind string, embedding array<float>"
 FRAME_SCHEMA = ("media_id bigint, frame_idx int, t_ms int, mean_px double")
 
 
-def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real decode — unavailable in this container (no PIL/av/cv2)."""
+def _pil():
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
+        import PIL.Image as Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """Real image decode via PIL → grayscale uint8 grid. Env-gated
+    (TILEGEN_REAL_DECODE=1) and import-gated: this container has no
+    PIL/av/cv2, so here it raises NotImplementedError and everything routes
+    through the deterministic fake — but the path is executable (and
+    golden-tested, tests/test_multimodal.py) wherever PIL is installed."""
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
             "image/audio codecs not installed in this environment; "
-            "use the deterministic fake decode (STUB)") from e
-    raise NotImplementedError("real decode path not wired in sandbox")
+            "use the deterministic fake decode (STUB)")
+    if kind != "image":
+        raise NotImplementedError(
+            "only image decode is wired (audio/video need av/cv2)")
+    import io
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("L"),
+                      dtype=np.uint8)
+
+
+def _use_real_decode() -> bool:
+    """Driver-side gate (resolved when the operator builds its UDF, so the
+    flag ships in the task closure rather than depending on worker env)."""
+    import os
+    return os.environ.get("TILEGEN_REAL_DECODE", "0") == "1" and _pil() is not None
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -88,7 +111,10 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_stats(media: DataFrame) -> DataFrame:
-    """Decode (stubbed) → per-item pixel stats; Arrow-batched, no driver I/O."""
+    """Decode → per-item pixel stats; Arrow-batched, no driver I/O. Decode is
+    the stub unless TILEGEN_REAL_DECODE=1 AND PIL imports (then image
+    payloads decode for real; dims come from the decoded grid)."""
+    use_real = _use_real_decode()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -96,11 +122,14 @@ def decode_stats(media: DataFrame) -> DataFrame:
                                    "mean_px", "std_px", "n_bytes")}
             for mid, kind, payload, w, h in zip(
                     b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
-                grid = _decode_fake(bytes(payload), int(w), int(h))
+                if use_real and kind == "image":
+                    grid = _decode_real(bytes(payload), str(kind))
+                else:
+                    grid = _decode_fake(bytes(payload), int(w), int(h))
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
-                out["width"].append(int(w))
-                out["height"].append(int(h))
+                out["width"].append(int(grid.shape[1]))
+                out["height"].append(int(grid.shape[0]))
                 out["mean_px"].append(round(float(grid.mean()), 4))
                 out["std_px"].append(round(float(grid.std()), 4))
                 out["n_bytes"].append(len(payload))
@@ -118,7 +147,9 @@ def decode_stats(media: DataFrame) -> DataFrame:
 
 
 def resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Resize (block mean over the stub grid) → stats of the resized image."""
+    """Resize (block mean over the decoded grid) → stats of the resized
+    image. Same decode gate as decode_stats."""
+    use_real = _use_real_decode()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -126,7 +157,10 @@ def resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                                     "mean_px", "std_px", "n_bytes")}
             for mid, kind, payload, w, h in zip(
                     b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
-                grid = _decode_fake(bytes(payload), int(w), int(h)).astype(np.float64)
+                if use_real and kind == "image":
+                    grid = _decode_real(bytes(payload), str(kind)).astype(np.float64)
+                else:
+                    grid = _decode_fake(bytes(payload), int(w), int(h)).astype(np.float64)
                 ys = np.linspace(0, grid.shape[0], out_h + 1).astype(int)
                 xs = np.linspace(0, grid.shape[1], out_w + 1).astype(int)
                 small = np.array([[grid[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
