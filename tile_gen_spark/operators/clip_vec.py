@@ -131,7 +131,8 @@ def finalize_instances(qx: np.ndarray, qy: np.ndarray, L: np.ndarray,
 
 
 def assemble_rows(rows: dict[str, list], qx3, qy3, S3, L3, inst_keep, flip,
-                  inst_unit, unit_z, unit_x, unit_y, unit_fid) -> None:
+                  inst_unit, unit_z, unit_x, unit_y, unit_fid,
+                  pack: bool = False) -> None:
     """Append one output row per unit with >= 1 kept instance (geom pieces
     in instance order) into the `rows` dict-of-lists.
 
@@ -141,9 +142,14 @@ def assemble_rows(rows: dict[str, list], qx3, qy3, S3, L3, inst_keep, flip,
     through the two agg exchanges was ~2x what it needed to be (VERDICT r3
     "What's wrong #1"); kind/props rejoin once per FEATURE post-agg and the
     nested view is rebuilt relationally (tiles.nest_geom)."""
-    out = np.empty((qx3.size, 2), dtype=np.int32)
-    out[:, 0] = qx3
-    out[:, 1] = qy3
+    if pack:
+        # r5 packed transport: one (qx<<16|qy) int per vertex
+        out = ((qx3.astype(np.int32) << np.int32(16))
+               | qy3.astype(np.int32)).reshape(-1, 1)
+    else:
+        out = np.empty((qx3.size, 2), dtype=np.int32)
+        out[:, 0] = qx3
+        out[:, 1] = qy3
     cur = -1
     for ii in np.nonzero(inst_keep)[0]:
         u = int(inst_unit[ii])
@@ -416,7 +422,7 @@ def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 
 
 def slow_batch(b: pd.DataFrame, extent: int,
-               cap: int | None = None) -> pd.DataFrame:
+               cap: int | None = None, pack: bool = False) -> pd.DataFrame:
     """One Arrow batch of multi-tile (feature, _z) rows → clipped tile rows.
 
     Memory-bounded two ways:
@@ -441,7 +447,7 @@ def slow_batch(b: pd.DataFrame, extent: int,
     w, g = _row_weights(b)
     gcap = K.grid_cap()
     if int(w.sum()) <= cap and int(g.max()) <= gcap:
-        return _slow_core(b, extent)
+        return _slow_core(b, extent, pack)
     # greedy contiguous split; oversized-grid rows go alone to _sparse_core
     parts: list[pd.DataFrame] = []
     start = 0
@@ -450,14 +456,14 @@ def slow_batch(b: pd.DataFrame, extent: int,
     def flush(end: int) -> None:
         nonlocal start, acc
         if end > start:
-            parts.append(_slow_core(b.iloc[start:end], extent))
+            parts.append(_slow_core(b.iloc[start:end], extent, pack))
         start = end
         acc = 0
 
     for i in range(n_rows):
         if g[i] > gcap:
             flush(i)
-            parts.append(_sparse_core(b.iloc[i:i + 1], extent, cap))
+            parts.append(_sparse_core(b.iloc[i:i + 1], extent, cap, pack))
             start = i + 1
             continue
         if acc and acc + w[i] > cap:
@@ -468,7 +474,8 @@ def slow_batch(b: pd.DataFrame, extent: int,
     return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
 
 
-def _sparse_core(b: pd.DataFrame, extent: int, cap: int) -> pd.DataFrame:
+def _sparse_core(b: pd.DataFrame, extent: int, cap: int,
+                 pack: bool = False) -> pd.DataFrame:
     """Bbox-sparse rows: exact covering via the O(covered) scalar kernels,
     then the same batched clip over exactly those (tile, feature) units —
     per-row work and memory are O(covered x vertices), never O(bbox area).
@@ -502,7 +509,7 @@ def _sparse_core(b: pd.DataFrame, extent: int, cap: int) -> pd.DataFrame:
                 is_line_row, row_ring_count, row_first_ring, ring_len,
                 ring_start, verts, np.zeros(ku, np.int64),
                 np.full(ku, z, np.int64), ux, uy, np.full(ku, fid, np.int64),
-                west, south, east, north, np.ones(ku, bool), extent))
+                west, south, east, north, np.ones(ku, bool), extent, pack))
     parts = [p for p in parts if len(p)]
     return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
 
@@ -535,7 +542,7 @@ def _flatten_rings(b: pd.DataFrame, is_line_row: np.ndarray):
     return ring_len, verts, ring_start, row_ring_count, row_first_ring
 
 
-def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
+def _slow_core(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFrame:
     """Mirrors the reference per-row loop (TILEGEN_FASTPATH=0 in
     tiles.clip_shapes_direct) output-for-output (modulo the r4 flat geom/off
     transport); see module docstring.
@@ -596,12 +603,14 @@ def _slow_core(b: pd.DataFrame, extent: int) -> pd.DataFrame:
                          xt, yt, x0, y0, gx, is_line_row)
     return _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
                        ring_start, verts, unit_row, unit_z, ux, uy,
-                       fids[unit_row], west, south, east, north, cov, extent)
+                       fids[unit_row], west, south, east, north, cov, extent,
+                       pack)
 
 
 def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
                 ring_start, verts, unit_row, unit_z, ux, uy, unit_fid,
-                west, south, east, north, cov, extent) -> pd.DataFrame:
+                west, south, east, north, cov, extent,
+                pack: bool = False) -> pd.DataFrame:
     """Clip + quantize + finalize + assemble over an explicit unit set (one
     unit = one (tile, row) pair). Shared by _slow_core (dense grid units,
     covering-masked) and _sparse_core (exact covering units, cov all-true)."""
@@ -627,7 +636,7 @@ def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
         fin = finalize_instances(qx, qy, Lc, p_inst_unit,
                                  np.ones(Lc.size, dtype=bool), ring_ord,
                                  n_unit)
-        assemble_rows(rows, *fin, p_inst_unit, unit_z, ux, uy, unit_fid)
+        assemble_rows(rows, *fin, p_inst_unit, unit_z, ux, uy, unit_fid, pack)
 
     # --- lines --------------------------------------------------------------
     lu = np.nonzero(is_line_row[unit_row] & cov)[0]
@@ -652,13 +661,15 @@ def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
             fin = finalize_instances(qx, qy, pieceL, piece_unit,
                                      np.zeros(pieceL.size, dtype=bool),
                                      np.zeros(pieceL.size, np.int64), n_unit)
-            assemble_rows(rows, *fin, piece_unit, unit_z, ux, uy, unit_fid)
+            assemble_rows(rows, *fin, piece_unit, unit_z, ux, uy, unit_fid, pack)
 
+    offs = ([None if len(o) == 2 else o for o in rows["off"]]
+            if pack else rows["off"])
     return pd.DataFrame({
         "z": pd.Series(rows["z"], dtype="int32"),
         "x": pd.Series(rows["x"], dtype="int64"),
         "y": pd.Series(rows["y"], dtype="int64"),
         "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
         "geom": pd.Series(rows["geom"], dtype=object),
-        "off": pd.Series(rows["off"], dtype=object),
+        "off": pd.Series(offs, dtype=object),
     })

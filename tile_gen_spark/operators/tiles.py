@@ -48,11 +48,38 @@ CLIP_FLAT_SCHEMA = ("z int, x bigint, y bigint, feature_id bigint, "
 NEST_GEOM_EXPR = ("transform(sequence(1, size(off) - 1), "
                   "i -> slice(geom, off[i-1] + 1, off[i] - off[i-1]))")
 
+#: r5 PACKED transport decode: geom carries ONE int per VERTEX
+#: ((qx << 16) | qy — lossless for extent ≤ 32767), off counts vertices and
+#: is NULL for single-piece rows ([0, size] implied). Halves the geom
+#: payload and drops the off array from ~85% of rows in both salted agg
+#: exchanges and the Arrow crossing; the unpack back to interleaved
+#: [x, y, …] ring lists is pure shift/mask inside whole-stage codegen.
+PACKED_NEST_GEOM_EXPR = (
+    "if(off IS NULL, "
+    "array(flatten(transform(geom, v -> array(shiftright(v, 16), v & 65535)))), "
+    "transform(sequence(1, size(off) - 1), "
+    "i -> flatten(transform(slice(geom, off[i-1] + 1, off[i] - off[i-1]), "
+    "v -> array(shiftright(v, 16), v & 65535)))))")
 
-def nest_geom(df: DataFrame) -> DataFrame:
+
+def geom_pack() -> bool:
+    """Transport mode (TILEGEN_GEOM_PACK, default 1): resolved at PLAN BUILD
+    time in the driver — producers capture it in their task closures and
+    consumers pick the matching decode, so one plan is always consistent."""
+    return os.environ.get("TILEGEN_GEOM_PACK", "1") == "1"
+
+
+def _pack_for(extent: int) -> bool:
+    """Packing needs qx ≤ 32767 (int32 stays positive) and qy < 65536."""
+    return geom_pack() and extent <= 32767
+
+
+def nest_geom(df: DataFrame, packed: bool | None = None) -> DataFrame:
     """Replace flat (geom, off) columns with the nested CLIP_SCHEMA geom."""
-    return (df.withColumn("geom", F.expr(NEST_GEOM_EXPR))
-            .drop("off"))
+    if packed is None:
+        packed = geom_pack()
+    expr = PACKED_NEST_GEOM_EXPR if packed else NEST_GEOM_EXPR
+    return df.withColumn("geom", F.expr(expr)).drop("off")
 
 
 def _by_fid(arr):
@@ -278,7 +305,7 @@ def clip_points_relational(points: DataFrame, zooms: list[int],
                     F.array(F.array("t.qx", "t.qy")).alias("geom"), "props"))
 
 
-def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
+def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFrame:
     """Vectorized single-tile clip: every (feature, z) unit in this batch is
     guaranteed (by the relational corner-tile split in clip_shapes_direct) to
     fit in ONE tile at z, so the clip is the identity and the whole batch
@@ -410,10 +437,15 @@ def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
     inst_keep = (poly_ok | line_ok) & ~unit_dead[inst_unit]
     flip = poly_ok & ((area2 > 0.0) != (ring_ord == 0))
 
-    # --- assemble output rows (flat geom + prefix offsets) -----------------
-    out = np.empty((qx3.size, 2), dtype=np.int32)
-    out[:, 0] = qx3
-    out[:, 1] = qy3
+    # --- assemble output rows (flat geom + prefix offsets; packed mode:
+    # one (qx<<16|qy) int per vertex, off NULL when single-piece) -----------
+    if pack:
+        out = ((qx3.astype(np.int32) << np.int32(16))
+               | qy3.astype(np.int32)).reshape(-1, 1)
+    else:
+        out = np.empty((qx3.size, 2), dtype=np.int32)
+        out[:, 0] = qx3
+        out[:, 1] = qy3
     fids = b["feature_id"].to_numpy()
     rows: dict[str, list] = {k: [] for k in (
         "z", "x", "y", "feature_id", "geom", "off")}
@@ -436,13 +468,15 @@ def _fast_batch(b: pd.DataFrame, extent: int) -> pd.DataFrame:
         else:
             rows["geom"][-1].extend(lst)
             rows["off"][-1].append(len(rows["geom"][-1]))
+    offs = ([None if len(o) == 2 else o for o in rows["off"]]
+            if pack else rows["off"])
     return pd.DataFrame({
         "z": pd.Series(rows["z"], dtype="int32"),
         "x": pd.Series(rows["x"], dtype="int64"),
         "y": pd.Series(rows["y"], dtype="int64"),
         "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
         "geom": pd.Series(rows["geom"], dtype=object),
-        "off": pd.Series(rows["off"], dtype=object),
+        "off": pd.Series(offs, dtype=object),
     })
 
 
@@ -564,17 +598,22 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     # The dim join follows the TILEGEN_BROADCAST_DIM policy (default
     # broadcast: without the hint Catalyst planned a wide shuffle join AND
     # re-ran the shapes lineage scan on the dim side — ADVICE r4 #3)
-    flat = clip_shapes_flat(shapes, zooms, extent)
+    pack = _pack_for(extent)
+    flat = clip_shapes_flat(shapes, zooms, extent, pack=pack)
     dim = _dim_join_side(shapes.select("feature_id", "kind", "props"), None)
-    return (nest_geom(flat).join(dim, "feature_id")
+    return (nest_geom(flat, packed=pack).join(dim, "feature_id")
             .select("z", "x", "y", "feature_id", "kind", "geom", "props"))
 
 
 def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
-                     extent: int = K.MVT_EXTENT) -> DataFrame:
+                     extent: int = K.MVT_EXTENT,
+                     pack: bool | None = None) -> DataFrame:
     """clip_shapes_direct's flat core (CLIP_FLAT_SCHEMA): what actually
     crosses Arrow and the downstream agg exchanges. No kind/props columns,
-    geom as ONE flat int array + ring prefix offsets."""
+    geom as ONE flat int array + ring prefix offsets (``pack``: one
+    (qx<<16|qy) int per vertex, NULL off for single-piece rows)."""
+    if pack is None:
+        pack = _pack_for(extent)
     # Explode per (feature, zoom) BEFORE the Python stage and hash-spread on
     # (feature_id, z): clip CPU varies ~1000× per feature and grows with z, so
     # fine-grained rows pack the task waves evenly (the 64-partition version
@@ -618,7 +657,7 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
             # feature_id hash-spread balances the waves
             .repartition(n_parts, "feature_id"))
     fast_out = fast.mapInPandas(
-        lambda batches: (_fast_batch(bt, extent) for bt in batches),
+        lambda batches: (_fast_batch(bt, extent, pack) for bt in batches),
         CLIP_FLAT_SCHEMA)
 
     from .clip_vec import slow_batch
@@ -628,15 +667,19 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
                     .alias("_z"))
             .repartition(n_parts, "feature_id", "_z"))
     slow_out = slow.mapInPandas(
-        lambda batches: (slow_batch(bt, extent) for bt in batches),
+        lambda batches: (slow_batch(bt, extent, pack=pack) for bt in batches),
         CLIP_FLAT_SCHEMA)
     return fast_out.unionByName(slow_out)
 
 
 def clip_points_flat(points: DataFrame, zooms: list[int],
-                     extent: int = K.MVT_EXTENT) -> DataFrame:
+                     extent: int = K.MVT_EXTENT,
+                     pack: bool | None = None) -> DataFrame:
     """clip_points_relational's flat twin (CLIP_FLAT_SCHEMA) — still pure
-    Spark SQL, zero Python; geom = [qx, qy], off = [0, 2]."""
+    Spark SQL, zero Python; geom = [qx, qy] (packed: [(qx<<16)|qy], off
+    NULL), off = [0, 2]."""
+    if pack is None:
+        pack = _pack_for(extent)
     pts = with_lonlat(points).select("feature_id", "lon", "lat")
     entries = []
     for z in zooms:
@@ -648,10 +691,16 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
             F.expr(S.tile_y("lat", z)).alias("y"),
             F.expr(qx).alias("qx"),
             F.expr(qy).alias("qy")))
-    return (pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
-            .select("t.z", "t.x", "t.y", "feature_id",
-                    F.array("t.qx", "t.qy").cast("array<int>").alias("geom"),
-                    F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off")))
+    ex = pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
+    if pack:
+        return ex.select(
+            "t.z", "t.x", "t.y", "feature_id",
+            F.expr("array(shiftleft(CAST(t.qx AS INT), 16) | CAST(t.qy AS INT))")
+            .alias("geom"),
+            F.lit(None).cast("array<int>").alias("off"))
+    return ex.select("t.z", "t.x", "t.y", "feature_id",
+                     F.array("t.qx", "t.qy").cast("array<int>").alias("geom"),
+                     F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off"))
 
 
 #: inline-mode finisher: rebuild the public nested struct from the flat agg
@@ -661,6 +710,16 @@ INLINE_NEST_EXPR = (
     "'feature_id', f.feature_id, 'kind', f.kind, "
     "'geom', transform(sequence(1, size(f.off) - 1), "
     "i -> slice(f.geom, f.off[i-1] + 1, f.off[i] - f.off[i-1])), "
+    "'props', f.props))")
+
+PACKED_INLINE_NEST_EXPR = (
+    "transform(features, f -> named_struct("
+    "'feature_id', f.feature_id, 'kind', f.kind, "
+    "'geom', if(f.off IS NULL, "
+    "array(flatten(transform(f.geom, v -> array(shiftright(v, 16), v & 65535)))), "
+    "transform(sequence(1, size(f.off) - 1), "
+    "i -> flatten(transform(slice(f.geom, f.off[i-1] + 1, f.off[i] - f.off[i-1]), "
+    "v -> array(shiftright(v, 16), v & 65535))))), "
     "'props', f.props))")
 
 
@@ -711,26 +770,32 @@ def build_tile_features(features: DataFrame, zooms: list[int],
         shp = clip_shapes_direct(features.filter(F.col("kind") != "point"), zooms, extent)
         return tile_feature_lists(pts.unionByName(shp), salt=salt)
     props_mode = props_mode or os.environ.get("TILEGEN_PROPS_MODE", "dim")
-    pts = clip_points_flat(features.filter(F.col("kind") == "point"), zooms, extent)
-    shp = clip_shapes_flat(features.filter(F.col("kind") != "point"), zooms, extent)
+    pack = _pack_for(extent)
+    pts = clip_points_flat(features.filter(F.col("kind") == "point"), zooms,
+                           extent, pack=pack)
+    shp = clip_shapes_flat(features.filter(F.col("kind") != "point"), zooms,
+                           extent, pack=pack)
     flat = pts.unionByName(shp)
     dim = features.select("feature_id", "kind", "props")
     if props_mode == "inline":
         enriched = flat.join(_dim_join_side(dim, broadcast_dim), "feature_id")
         tiled = tile_feature_lists_flat(enriched, salt=salt,
                                         extra=("kind", "props"))
-        return tiled.withColumn("features", F.expr(INLINE_NEST_EXPR))
+        return tiled.withColumn("features", F.expr(
+            PACKED_INLINE_NEST_EXPR if pack else INLINE_NEST_EXPR))
     if props_mode == "dim2":
         # measured alternative kept for reference: lean agg end-to-end, then
         # a full post-agg re-collect (enrich_tile_features)
         tiled = tile_feature_lists_flat(flat, salt=salt)
-        return enrich_tile_features(tiled, dim, broadcast_dim=broadcast_dim)
+        return enrich_tile_features(tiled, dim, broadcast_dim=broadcast_dim,
+                                    packed=pack)
     return tile_feature_lists_dim(flat, dim, salt=salt,
-                                  broadcast_dim=broadcast_dim)
+                                  broadcast_dim=broadcast_dim, packed=pack)
 
 
 def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
-                           broadcast_dim: bool | None = None) -> DataFrame:
+                           broadcast_dim: bool | None = None,
+                           packed: bool | None = None) -> DataFrame:
     """A1/A2 with the props dim joined AFTER the last exchange (default
     props_mode="dim"): kind/props never enter ANY shuffle, and — unlike the
     post-agg enrich variant — there is exactly ONE full-width collect, same
@@ -753,7 +818,7 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
         n_agg = spark.sparkContext.defaultParallelism
 
     def finish(rows: DataFrame) -> DataFrame:
-        full = (nest_geom(rows).join(d, "feature_id", "left")
+        full = (nest_geom(rows, packed=packed).join(d, "feature_id", "left")
                 .select("z", "x", "y",
                         F.struct("feature_id", "kind", "geom", "props").alias("f")))
         return (full.groupBy("z", "x", "y")
@@ -807,7 +872,8 @@ def tile_feature_lists_flat(clipped: DataFrame, salt: int = 0,
 
 
 def enrich_tile_features(tiled: DataFrame, dim: DataFrame,
-                         broadcast_dim: bool | None = None) -> DataFrame:
+                         broadcast_dim: bool | None = None,
+                         packed: bool | None = None) -> DataFrame:
     """Rebuild the public per-tile schema from the flat agg output: nested
     geom via the pure-Catalyst NEST_GEOM_EXPR, kind/props joined back ONCE
     per feature from the dim.
@@ -825,7 +891,7 @@ def enrich_tile_features(tiled: DataFrame, dim: DataFrame,
     ex = (tiled.select("z", "x", "y", F.explode("features").alias("f"))
           .select("z", "x", "y", F.col("f.feature_id").alias("feature_id"),
                   F.col("f.geom").alias("geom"), F.col("f.off").alias("off")))
-    j = nest_geom(ex).join(d, "feature_id", "left")
+    j = nest_geom(ex, packed=packed).join(d, "feature_id", "left")
     feat = F.struct(
         F.col("feature_id"), F.col("kind"), F.col("geom"), F.col("props"))
     return (j.groupBy("z", "x", "y")
