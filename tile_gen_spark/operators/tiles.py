@@ -755,12 +755,15 @@ def build_tile_features(features: DataFrame, zooms: list[int],
       BEFORE the agg, so they ride both salted exchanges; the nested view is
       then ONE projection (INLINE_NEST_EXPR) — no second aggregation. Best
       when props are small relative to geometry.
-    - ``"dim"`` (default): kind/props never enter any exchange — the agg runs on
-      (feature_id, geom, off) only and enrich_tile_features joins the dim
-      back post-agg (explode → broadcast join → re-agg, zero added
-      shuffles). Minimum possible shuffle bytes; pays a second (exchange-
-      free) collect pass — wins when props are WIDE (real-world tags) or
-      the agg is shuffle-bound.
+    - ``"dim"`` (default): kind/props never enter any exchange — the salted
+      partial collect runs on (feature_id, geom, off) only and the dim joins
+      BETWEEN the last exchange and the single full-width collect
+      (tile_feature_lists_dim; partitioning-preserving, zero added
+      shuffles). Minimum shuffle bytes AND one full collect — wins when
+      props are WIDE (real-world tags) or the agg is shuffle-bound.
+    - ``"dim2"`` (measured alternative, kept selectable): lean agg
+      end-to-end, then enrich_tile_features re-collects post-agg (explode →
+      dim join → re-agg) — a second full-width collect, measured slower.
     ``broadcast_dim``: True forces the kind/props dim broadcast, False
     leaves the join unhinted (AQE sizes it), None reads
     TILEGEN_BROADCAST_DIM (the huge-dim escape hatch, no code change).
