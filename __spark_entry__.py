@@ -724,6 +724,73 @@ def _run_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("kind"))
 
 
+_ENDUP = {"tau_num": 2, "tau_den": 5, "planes": 32, "band_bits": 4,
+          "quant": 1_000_000, "dim": 64}
+
+
+def _run_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family, driver mandate):
+    ±1-hyperplane LSH band buckets → bucket self-join → exact integer-
+    arithmetic cosine refine (cos ≥ 0.4, the synthetic table's similarity
+    regime — max pairwise cosine in the corpus is ~0.48). Fully oracled:
+    quantized-int projections make every sign and threshold decision exact
+    in both engines."""
+    from tile_gen_spark.operators.knn import embedding_near_dup_pairs
+
+    register_views(spark, sf_dir)
+    return embedding_near_dup_pairs(spark.table("embeddings"), **_ENDUP)
+
+
+def q_embed_near_dups_oracle(d: str) -> str:
+    """DuckDB twin of embedding_near_dup_pairs: same ±1 planes (literal
+    VALUES from the same pm1_hyperplanes call), same quantization, same
+    banding partition, same exact integer refine (HUGEINT here,
+    DECIMAL(38,0) in Spark — both exact at these magnitudes)."""
+    from tile_gen_spark.operators.knn import pm1_hyperplanes
+
+    p = _ENDUP
+    H = pm1_hyperplanes(p["dim"], p["planes"])
+    rows = ", ".join(f"({i}, {H[i]})" for i in range(p["planes"]))
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {p["quant"]}) AS BIGINT)) AS qe
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(generate_series(1, {p["dim"]}),
+                                 i -> qe[i] * qe[i])) AS nrm
+  FROM qv
+), planes(p, h) AS (VALUES {rows}),
+proj AS (
+  SELECT q.vec_id, pl.p // {p["band_bits"]} AS band,
+         pl.p % {p["band_bits"]} AS pos,
+         CASE WHEN list_sum(list_transform(generate_series(1, {p["dim"]}),
+                                           i -> q.qe[i] * pl.h[i])) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM qn q CROSS JOIN planes pl
+), sig AS (
+  SELECT vec_id, band, SUM(bit * (1 << pos)) AS bucket
+  FROM proj GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(generate_series(1, {p["dim"]}),
+                                 i -> x.qe[i] * y.qe[i])) AS dot,
+         x.nrm AS nrm_a, y.nrm AS nrm_b
+  FROM cand c JOIN qn x ON c.id_a = x.vec_id JOIN qn y ON c.id_b = y.vec_id
+)
+SELECT id_a, id_b FROM scored
+WHERE dot > 0
+  AND CAST({p["tau_den"]} * dot AS HUGEINT) * CAST({p["tau_den"]} * dot AS HUGEINT)
+      >= CAST({p["tau_num"] ** 2} * nrm_a AS HUGEINT) * CAST(nrm_b AS HUGEINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -777,6 +844,7 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "s2_cells": (_run_s2_cells, q_s2_cells_oracle),
     "s2_quadtree_rollup": (_run_s2_quadtree, q_s2_quadtree_oracle),
     "approx_distinct": (_run_approx_distinct, q_approx_distinct_oracle),
+    "embed_near_dups": (_run_embed_near_dups, q_embed_near_dups_oracle),
     "ann_lsh_recall": (_run_ann_lsh, None),
     "ann_ivf_recall": (_run_ann_ivf, None),
     "tile_build": (_run_tile_build, None),

@@ -683,3 +683,56 @@ def test_knn_embeddings_chunked_query_side(spark):
     # matmul reduction order varies with the block's matrix shape)
     assert [(q_, n, r) for q_, n, _, r in a] == [(q_, n, r) for q_, n, _, r in b]
     assert all(abs(x[2] - y[2]) < 1e-9 for x, y in zip(a, b))
+
+
+def test_embedding_near_dup_pairs_exact_refine(spark):
+    """embedding_near_dup_pairs == numpy reimplementation (quantize → ±1
+    projections → band buckets → exact integer cosine refine) on clustered
+    vectors, and the plan is zero-Python with no cartesian product."""
+    from tile_gen_spark.operators.knn import (embedding_near_dup_pairs,
+                                              pm1_hyperplanes)
+    from tile_gen_spark.functions import kernels as K
+
+    dim, planes, band_bits, quant = 16, 16, 4, 1_000_000
+    tau_num, tau_den = 2, 5
+    # clustered vectors: 12 centers × 20 members + per-member jitter, all
+    # from the deterministic counter hash (near-dups exist by construction)
+    n, ids = 240, np.arange(240, dtype=np.uint64)
+    center = (ids % 12).astype(np.uint64)
+    vec = np.empty((n, dim))
+    for s in range(dim):
+        c = K.h64(center, 11, s).astype(np.float64) / 2 ** 64 - 0.5
+        j = (K.h64(ids, 13, s).astype(np.float64) / 2 ** 64 - 0.5) * 0.15
+        vec[:, s] = c + j
+    emb = spark.createDataFrame(
+        [(int(i), [float(np.float32(v)) for v in vec[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>")
+    got = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, tau_num, tau_den, planes, band_bits, quant, dim).collect()))
+
+    # numpy oracle — same decisions in exact int64 arithmetic
+    q = np.rint(vec.astype(np.float32).astype(np.float64) * quant).astype(np.int64)
+    H = np.array(pm1_hyperplanes(dim, planes), dtype=np.int64)
+    bits = (q @ H.T) > 0                                   # (n, planes)
+    n_bands = planes // band_bits
+    bucket = np.zeros((n, n_bands), dtype=np.int64)
+    for p in range(planes):
+        b = p // band_bits
+        bucket[:, b] = bucket[:, b] * 2 + bits[:, p]
+    want = []
+    nrm = np.einsum("ij,ij->i", q, q)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not (bucket[a] == bucket[b]).any():
+                continue
+            dot = int(q[a] @ q[b])
+            if dot > 0 and (tau_den * dot) ** 2 >= tau_num ** 2 * int(nrm[a]) * int(nrm[b]):
+                want.append((a, b))
+    assert got == want
+    assert len(want) > 50          # the clustered regime actually fires
+
+    plan = embedding_near_dup_pairs(emb, tau_num, tau_den, planes,
+                                    band_bits, quant, dim)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Python" not in plan            # no BatchEval/ArrowEval anywhere
+    assert "CartesianProduct" not in plan  # LSH bucket join, never all-pairs

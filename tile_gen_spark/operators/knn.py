@@ -387,3 +387,92 @@ def knn_embeddings_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
+def pm1_hyperplanes(dim: int, planes: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix for exact-arithmetic LSH.
+
+    sign(p, d) = +1 iff the low bit of md5("hp:p:d") is 0 — no RNG state, no
+    floats. The matrix is tiny (planes × dim small ints) and is embedded as
+    literals in BOTH the Spark plan and the DuckDB oracle SQL, so the two
+    engines share the exact same planes by construction.
+    """
+    import hashlib
+    return [[1 if int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest(), 16) & 1 == 0
+             else -1 for d in range(dim)] for p in range(planes)]
+
+
+def _int_dot(a, b):
+    """Exact integer dot product of two array<bigint> columns — a Catalyst
+    higher-order expression (whole-stage codegen, no Python)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, tau_num: int = 2, tau_den: int = 5,
+                             planes: int = 32, band_bits: int = 4,
+                             quant: int = 1_000_000, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the dedup-family member the driver
+    mandate names alongside exact / MinHash-LSH / SimHash / n-gram Jaccard:
+    emit (id_a < id_b) pairs whose embeddings share at least one LSH band
+    bucket AND have exact cosine ≥ tau_num/tau_den.
+
+    Exactness contract (what makes this fully oracle-able where the float
+    ``knn_embeddings_lsh`` is not): embeddings quantize to int64
+    (round(x·quant), SQL half-away-from-zero in both engines), hyperplanes
+    are ±1 ints (``pm1_hyperplanes``), so every projection sign, dot and
+    norm is exact integer arithmetic — no float sign/threshold boundary can
+    differ between engines. The refine compares
+        (tau_den·dot)² ≥ (tau_num²·|a|²)·|b|²   [and dot > 0]
+    entirely in DECIMAL: at dim 64 / quant 1e6 each factor ≤ ~6.4e15 fits
+    DECIMAL(19,0) and each product ≤ ~4.1e29 fits DECIMAL(38,0).
+
+    100 TB shape: zero Python anywhere (quantization, projections, packing
+    and refine are Catalyst higher-order expressions inside whole-stage
+    codegen); the only shuffles are the (band, bucket) equi self-join — the
+    LSH guarantee that this is never all-pairs — the pair distinct, and two
+    hash joins back to the quantized-vector dim by id.
+    """
+    n_bands = planes // band_bits
+    H = pm1_hyperplanes(dim, planes)
+    h_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in H])
+
+    qv = emb.select(
+        F.col("vec_id"),
+        F.expr(f"transform(embedding, x -> "
+               f"CAST(round(CAST(x AS DOUBLE) * {quant}) AS BIGINT))")
+        .alias("qe"))
+    qv = qv.withColumn("nrm", _int_dot(F.col("qe"), F.col("qe")))
+
+    # sign bits of the ±1 projections, packed into n_bands bucket ints
+    sig = F.transform(h_lit, lambda row: (_int_dot(row.cast("array<bigint>"),
+                                                   F.col("qe")) > 0).cast("int"))
+    buckets = [F.struct(
+        F.lit(b).alias("band"),
+        F.aggregate(F.slice(sig, b * band_bits + 1, band_bits),
+                    F.lit(0), lambda acc, v: acc * 2 + v).alias("bucket"))
+        for b in range(n_bands)]
+    banded = qv.select("vec_id", F.explode(F.array(*buckets)).alias("bb"))
+
+    cand = (banded.alias("a")
+            .join(banded.alias("b"), F.col("a.bb") == F.col("b.bb"))
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    dimd = qv.select(F.col("vec_id"), F.col("qe"), F.col("nrm"))
+    pairs = (cand
+             .join(dimd.select(F.col("vec_id").alias("id_a"),
+                               F.col("qe").alias("qe_a"),
+                               F.col("nrm").alias("nrm_a")), "id_a")
+             .join(dimd.select(F.col("vec_id").alias("id_b"),
+                               F.col("qe").alias("qe_b"),
+                               F.col("nrm").alias("nrm_b")), "id_b"))
+    dot = _int_dot(F.col("qe_a"), F.col("qe_b"))
+    lhs = (dot * tau_den).cast("decimal(19,0)")
+    rhs_a = (F.col("nrm_a") * (tau_num * tau_num)).cast("decimal(19,0)")
+    rhs_b = F.col("nrm_b").cast("decimal(19,0)")
+    return (pairs.withColumn("_dot", dot)
+            .filter((F.col("_dot") > 0) & (lhs * lhs >= rhs_a * rhs_b))
+            .select("id_a", "id_b"))
