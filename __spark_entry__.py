@@ -791,6 +791,44 @@ WHERE dot > 0
 """
 
 
+def _run_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: embedding near-dup pairs → transitive components →
+    one deterministic keeper (min id) per group. Iterative min-label
+    propagation (operators/graph.py) vs a DuckDB RECURSIVE CTE closure over
+    the identical pair set."""
+    from pyspark.sql import functions as F
+    from tile_gen_spark.operators.graph import near_dup_groups
+    from tile_gen_spark.operators.knn import embedding_near_dup_pairs
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    pairs = embedding_near_dup_pairs(emb, **_ENDUP)
+    verts = emb.select(F.col("vec_id").alias("id"))
+    return near_dup_groups(verts, pairs)
+
+
+def q_near_dup_groups_oracle(d: str) -> str:
+    """Recursive-CTE twin: transitive closure of the same pair set, then
+    component = min reachable id (LEAST with self covers singletons)."""
+    inner = q_embed_near_dups_oracle(d)
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+verts AS (SELECT vec_id AS id FROM embeddings),
+reach(src, dst) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.src, s2.d FROM reach r JOIN sym s2 ON r.dst = s2.s
+),
+comp AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(r.dst), v.id)) AS component
+  FROM verts v LEFT JOIN reach r ON r.src = v.id GROUP BY v.id
+)
+SELECT id, component, id = component AS is_keeper FROM comp
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -845,6 +883,7 @@ _OPERATOR_QUERIES: dict[str, tuple[Callable, Callable[[str], str] | None]] = {
     "s2_quadtree_rollup": (_run_s2_quadtree, q_s2_quadtree_oracle),
     "approx_distinct": (_run_approx_distinct, q_approx_distinct_oracle),
     "embed_near_dups": (_run_embed_near_dups, q_embed_near_dups_oracle),
+    "near_dup_groups": (_run_near_dup_groups, q_near_dup_groups_oracle),
     "ann_lsh_recall": (_run_ann_lsh, None),
     "ann_ivf_recall": (_run_ann_ivf, None),
     "tile_build": (_run_tile_build, None),

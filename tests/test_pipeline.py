@@ -736,3 +736,40 @@ def test_embedding_near_dup_pairs_exact_refine(spark):
         .queryExecution().executedPlan().toString()
     assert "Python" not in plan            # no BatchEval/ArrowEval anywhere
     assert "CartesianProduct" not in plan  # LSH bucket join, never all-pairs
+
+
+def test_connected_components_min_label(spark):
+    """connected_components == union-find ground truth on mixed topologies
+    (chain, triangle+tail, pairs, singletons); keeper = min id per group."""
+    from tile_gen_spark.operators.graph import connected_components, near_dup_groups
+
+    #  chain 0-1-2-3-4 | triangle 10-11-12 with tail 12-13 | pair 20-21
+    #  cross-edge dup (2,3) again | singletons 30, 31
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (12, 13), (20, 21), (2, 3)]
+    ids = sorted({i for e in edges for i in e} | {30, 31})
+    v = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    e = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = sorted((i, min(j for j in ids if find(j) == find(i))) for i in ids)
+
+    got = sorted(map(tuple, connected_components(v, e).collect()))
+    assert got == want
+
+    grp = {tuple(r) for r in near_dup_groups(v, e).collect()}
+    assert (0, 0, True) in grp and (4, 0, False) in grp
+    assert (13, 10, False) in grp and (30, 30, True) in grp
+
+    # a 5-chain needs ~3 propagation rounds; max_iter=1 must raise, proving
+    # the convergence probe is real (not a fixed-iteration guess)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(v, e, max_iter=1)
