@@ -35,6 +35,12 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
         # ~10k rows per Arrow batch: wide geometry rows (SURVEY.md §4.2)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/broadcast block codec (SPARK_GRAFT_IO_CODEC): on this
+        # box shuffle files live on tmpfs, so shuffle bytes ARE memory
+        # traffic — the measured 32-core constraint. A/B'd lz4 (Spark
+        # default) vs zstd on the tile section; see BENCH/BASELINE.md.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.session.timeZone", "UTC")
         # single-JVM local mode puts ALL executor threads in the driver heap;
         # 16g measured flat-stable across reps — 8g went GC-bound on heavy
