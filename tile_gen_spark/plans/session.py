@@ -74,4 +74,11 @@ def get_spark(app: str = "tile-gen-spark", master: str | None = None,
             shm = os.path.join("/dev/shm", "spark-local")
             os.makedirs(shm, exist_ok=True)
             b = b.config("spark.local.dir", shm)
+    # experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — lets bench
+    # A/Bs (codec, compress on/off, …) run without code edits; applied LAST
+    # so an experiment can override any default above.
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF",
+                                          "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
