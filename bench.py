@@ -22,9 +22,18 @@ single-sample noise. Big sections discard WARM full-size passes first (C2
 JIT needs ~2 full passes to compile the big codegen stages — measured
 19s → 7s on the pip probe, 181s → 132s on the pipeline).
 
+Sections run under the SAME pre-registered steal rule as the scaling
+protocol (tools/bench_scaling.py): hypervisor steal is measured across each
+child; a section over BENCH_STEAL_MAX % of the box re-runs immediately
+(≤ BENCH_STEAL_RETRIES), the last attempt is kept and annotated
+(<name>_steal_pct_of_box / _steal_attempts) — so committed BENCH_rN medians
+are noise-rejected the way the protocol's runs are (VERDICT r5 #1).
+
 Env knobs: BENCH_REPS (timed reps, default 3), BENCH_ONLY (comma list of
 sections), BENCH_PAGES, BENCH_PIP_POINTS, SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_CPUS. BENCH_SECTION is internal (single-section child mode).
+SPARK_GRAFT_CPUS, BENCH_STEAL_MAX (default 2.0, percent of box),
+BENCH_STEAL_RETRIES (default 2). BENCH_SECTION is internal
+(single-section child mode).
 
 The synthetic corpus is generated once (deterministic, seed=42) into /tmp
 and reused; the bench times the engine, not the generator.
@@ -217,6 +226,69 @@ def sec_dedup_minhash() -> dict:
 
 # --- orchestrator ----------------------------------------------------------
 
+# PRE-REGISTERED steal rule, ported from tools/bench_scaling.py (VERDICT r5
+# #1: BENCH_r05's committed medians regressed 21-30% purely on host-noise
+# windows the scaling protocol caught and this artifact didn't — two
+# artifacts measuring the same code a factor apart is an evidence bug). A
+# section whose measured hypervisor steal exceeds BENCH_STEAL_MAX % of the
+# box is re-run immediately (≤ BENCH_STEAL_RETRIES); the last attempt is
+# kept either way, every attempt's steal lands in the JSON.
+STEAL_MAX = float(os.environ.get("BENCH_STEAL_MAX", "2.0"))
+STEAL_RETRIES = int(os.environ.get("BENCH_STEAL_RETRIES", "2"))
+
+
+def _steal_snap() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return v[7], sum(v)
+
+
+def _run_section(name: str) -> dict | None:
+    """One child-process section run; None on timeout/crash."""
+    env = dict(os.environ, BENCH_SECTION=name)
+    # per-section timeout caught so one hung section surrenders only its
+    # own slot: completed sections still land in the output, and the JSON
+    # names the failures — a partial run is self-describing, not
+    # indistinguishable from a full one (ADVICE r3).
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=7200)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[bench] section {name} TIMED OUT (7200s)\n")
+        return None
+    lines = [l for l in r.stdout.splitlines()
+             if l.startswith("BENCH_SECTION_RESULT ")]
+    if not lines:
+        sys.stderr.write(f"[bench] section {name} FAILED:\n"
+                         + r.stdout[-2000:] + r.stderr[-4000:])
+        return None
+    return json.loads(lines[-1].split(" ", 1)[1])
+
+
+def _run_section_with_steal_rule(name: str) -> dict | None:
+    """Steal-ruled section run: measure /proc/stat steal across the child,
+    re-run while it exceeds STEAL_MAX (≤ STEAL_RETRIES), keep the last
+    attempt, annotate it with its steal and the attempt count."""
+    attempts = 0
+    part: dict | None = None
+    while True:
+        s0, t0 = _steal_snap()
+        part = _run_section(name)
+        s1, t1 = _steal_snap()
+        attempts += 1
+        if part is None:
+            return None
+        steal = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        part[f"{name}_steal_pct_of_box"] = steal
+        part[f"{name}_steal_attempts"] = attempts
+        if steal <= STEAL_MAX or attempts > STEAL_RETRIES:
+            return part
+        sys.stderr.write(f"[bench] section {name} steal {steal}% > "
+                         f"{STEAL_MAX}% — re-running ({attempts})\n")
+
+
 def main() -> None:
     section = os.environ.get("BENCH_SECTION")
     if section:
@@ -231,27 +303,10 @@ def main() -> None:
     for name in SECTIONS:
         if only and name not in only:
             continue
-        env = dict(os.environ, BENCH_SECTION=name)
-        # per-section timeout caught so one hung section surrenders only its
-        # own slot: completed sections still land in the output, and the JSON
-        # names the failures — a partial run is self-describing, not
-        # indistinguishable from a full one (ADVICE r3).
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               capture_output=True, text=True, env=env,
-                               timeout=7200)
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(f"[bench] section {name} TIMED OUT (7200s)\n")
+        part = _run_section_with_steal_rule(name)
+        if part is None:
             failed.append(name)
             continue
-        lines = [l for l in r.stdout.splitlines()
-                 if l.startswith("BENCH_SECTION_RESULT ")]
-        if not lines:
-            sys.stderr.write(f"[bench] section {name} FAILED:\n"
-                             + r.stdout[-2000:] + r.stderr[-4000:])
-            failed.append(name)
-            continue
-        part = json.loads(lines[-1].split(" ", 1)[1])
         queries.update({k: round(v, 2) for k, v in part.pop("queries").items()})
         extras.update(part)
 
@@ -267,6 +322,8 @@ def main() -> None:
         "n_pages": N_PAGES,
         "reps": REPS,
         "isolated_sections": True,
+        "steal_rule": {"max_pct_of_box": STEAL_MAX,
+                       "retries": STEAL_RETRIES},
         "failed_sections": failed,
         **{k: v for k, v in extras.items() if k != "tiles_per_sec"},
     }))

@@ -89,3 +89,33 @@ def test_steal_rule_reruns(monkeypatch):
     discarded3: list = []
     r3 = BS.run_with_steal_rule(8, discarded3)
     assert "error" in r3 and discarded3 == []
+
+
+def test_bench_section_steal_rule(monkeypatch):
+    """bench.py's per-section runner applies the same pre-registered rule:
+    over-threshold sections re-run (bounded), the kept attempt is annotated
+    with its steal percentage and attempt count (VERDICT r5 #1)."""
+    import bench as B
+
+    # steal snapshots: each attempt spans one (pre, post) pair; steal%
+    # = 100 * d_steal / d_total -> attempts at 5%, 4%, 0.5%
+    snaps = iter([(0, 0), (50, 1000), (50, 1000), (90, 2000),
+                  (90, 2000), (95, 3000)])
+    monkeypatch.setattr(B, "_steal_snap", lambda: next(snaps))
+    calls = {"n": 0}
+
+    def fake_section(name):
+        calls["n"] += 1
+        return {"queries": {name: 1.0}, "v": calls["n"]}
+
+    monkeypatch.setattr(B, "_run_section", fake_section)
+    monkeypatch.setattr(B, "STEAL_MAX", 2.0)
+    monkeypatch.setattr(B, "STEAL_RETRIES", 2)
+    r = B._run_section_with_steal_rule("tile_assign")
+    assert r["v"] == 3 and r["tile_assign_steal_attempts"] == 3
+    assert r["tile_assign_steal_pct_of_box"] == 0.5
+
+    # a crashed section short-circuits (no re-run loop on None)
+    monkeypatch.setattr(B, "_steal_snap", lambda: (0, 1))
+    monkeypatch.setattr(B, "_run_section", lambda name: None)
+    assert B._run_section_with_steal_rule("tile_assign") is None
