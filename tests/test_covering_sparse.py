@@ -161,3 +161,41 @@ def test_grid_cap_default():
     finally:
         if old is not None:
             os.environ["TILEGEN_GRID_CAP"] = old
+
+
+def test_covering_runs_vectorized_parity():
+    """r6: _covering_runs was rewritten from a per-row Python loop to a
+    sentinel-sort vectorized form (VERDICT r5 #3). Pin exact parity against
+    a reference implementation of the original loop on 300 random grids,
+    including empty-candidate and full-row-candidate edge cases."""
+    def reference(cx, cy, x0, x1, y0, y1):
+        ry, rxa, rxb = [], [], []
+        ptr, n = 0, cx.size
+        for y in range(y0, y1 + 1):
+            prev = x0 - 1
+            while ptr < n and cy[ptr] == y:
+                xc = int(cx[ptr])
+                if xc > prev + 1:
+                    ry.append(y); rxa.append(prev + 1); rxb.append(xc - 1)
+                prev = xc
+                ptr += 1
+            if x1 > prev:
+                ry.append(y); rxa.append(prev + 1); rxb.append(x1)
+        return (np.asarray(ry, np.int64), np.asarray(rxa, np.int64),
+                np.asarray(rxb, np.int64))
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        y0, y1 = sorted(int(v) for v in rng.integers(0, 50, 2))
+        x0, x1 = sorted(int(v) for v in rng.integers(0, 50, 2))
+        k = int(rng.integers(0, 40))
+        ys = rng.integers(y0, y1 + 1, k)
+        xs = rng.integers(x0, x1 + 1, k)
+        _, idx = np.unique(ys * 1000 + xs, return_index=True)
+        cy, cx = ys[idx].astype(np.int64), xs[idx].astype(np.int64)
+        o = np.lexsort((cx, cy))
+        cy, cx = cy[o], cx[o]
+        a = reference(cx, cy, x0, x1, y0, y1)
+        b = K._covering_runs(cx, cy, x0, x1, y0, y1)
+        for u, v in zip(a, b):
+            assert np.array_equal(u, v), (trial, a, b)

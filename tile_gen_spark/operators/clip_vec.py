@@ -422,7 +422,8 @@ def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 
 
 def slow_batch(b: pd.DataFrame, extent: int,
-               cap: int | None = None, pack: bool = False) -> pd.DataFrame:
+               cap: int | None = None, pack: bool = False,
+               gcap: int | None = None) -> pd.DataFrame:
     """One Arrow batch of multi-tile (feature, _z) rows → clipped tile rows.
 
     Memory-bounded two ways:
@@ -445,7 +446,10 @@ def slow_batch(b: pd.DataFrame, extent: int,
     if cap is None:
         cap = int(os.environ.get("TILEGEN_SLOW_CAP", "8000000"))
     w, g = _row_weights(b)
-    gcap = K.grid_cap()
+    if gcap is None:
+        # standalone/test use only — plan-builders pass the driver-resolved
+        # value (ADVICE r5: executor env != driver env on a real cluster)
+        gcap = K.grid_cap()
     if int(w.sum()) <= cap and int(g.max()) <= gcap:
         return _slow_core(b, extent, pack)
     # greedy contiguous split; oversized-grid rows go alone to _sparse_core
@@ -463,7 +467,7 @@ def slow_batch(b: pd.DataFrame, extent: int,
     for i in range(n_rows):
         if g[i] > gcap:
             flush(i)
-            parts.append(_sparse_core(b.iloc[i:i + 1], extent, cap, pack))
+            parts.append(_sparse_core(b.iloc[i:i + 1], extent, cap, pack, gcap))
             start = i + 1
             continue
         if acc and acc + w[i] > cap:
@@ -475,7 +479,7 @@ def slow_batch(b: pd.DataFrame, extent: int,
 
 
 def _sparse_core(b: pd.DataFrame, extent: int, cap: int,
-                 pack: bool = False) -> pd.DataFrame:
+                 pack: bool = False, gcap: int | None = None) -> pd.DataFrame:
     """Bbox-sparse rows: exact covering via the O(covered) scalar kernels,
     then the same batched clip over exactly those (tile, feature) units —
     per-row work and memory are O(covered x vertices), never O(bbox area).
@@ -491,9 +495,9 @@ def _sparse_core(b: pd.DataFrame, extent: int, cap: int,
         r0 = ring_start[0]
         ring0 = verts[r0:r0 + ring_len[0]].ravel()
         if is_line_row[0]:
-            tiles = K.line_covering_tiles(ring0, z)
+            tiles = K.line_covering_tiles(ring0, z, cap=gcap)
         else:
-            tiles = K.polygon_covering_tiles(ring0, z)
+            tiles = K.polygon_covering_tiles(ring0, z, cap=gcap)
         if tiles.shape[0] == 0:
             continue
         nv = max(int(ring_len.sum()), 1)

@@ -86,6 +86,7 @@ def points_with_bucket(points: DataFrame, res: int,
 
 def zones_covering_quadkeys(zones: DataFrame, res: int) -> DataFrame:
     """G8 per zone → exploded (zone_id, qb) covering rows, Arrow-batched."""
+    gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -93,7 +94,7 @@ def zones_covering_quadkeys(zones: DataFrame, res: int) -> DataFrame:
                 "zone_id", "qb", "bminx", "bmaxx", "bminy", "bmaxy")}
             for zid, ring in zip(b["zone_id"], b["ring"]):
                 r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
-                tiles = K.polygon_covering_tiles(r.ravel(), res)
+                tiles = K.polygon_covering_tiles(r.ravel(), res, cap=gcap)
                 if tiles.size == 0:
                     continue
                 qbs = tiles[:, 0] * (1 << res) + tiles[:, 1]

@@ -160,6 +160,7 @@ def assign_points(points: DataFrame, zooms: list[int]) -> DataFrame:
 
 def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
     """G8: polygons/lines → covering tiles per zoom (Arrow-batched numpy)."""
+    gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -168,9 +169,9 @@ def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
                 ring = np.asarray(coords[0], dtype=np.float64)
                 for z in zooms:
                     if kind == "polygon":
-                        tiles = K.polygon_covering_tiles(ring, z)
+                        tiles = K.polygon_covering_tiles(ring, z, cap=gcap)
                     else:
-                        tiles = _line_covering_tiles(ring, z)
+                        tiles = _line_covering_tiles(ring, z, cap=gcap)
                     for xx, yy in tiles:
                         fid_o.append(fid)
                         z_o.append(z)
@@ -186,10 +187,11 @@ def assign_shapes(shapes: DataFrame, zooms: list[int]) -> DataFrame:
     return shapes.select("feature_id", "kind", "coords").mapInPandas(fn, ASSIGN_SCHEMA)
 
 
-def _line_covering_tiles(ring: np.ndarray, z: int) -> np.ndarray:
+def _line_covering_tiles(ring: np.ndarray, z: int,
+                         cap: int | None = None) -> np.ndarray:
     """Tiles whose bbox a polyline touches (kernels.line_covering_tiles:
-    dense grid under TILEGEN_GRID_CAP, O(covered) segment walk above)."""
-    return K.line_covering_tiles(ring, z)
+    dense grid under ``cap`` cells, O(covered) segment walk above)."""
+    return K.line_covering_tiles(ring, z, cap=cap)
 
 
 def assign_features(features: DataFrame, zooms: list[int]) -> DataFrame:
@@ -502,6 +504,7 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
     ONCE per feature instead of once per zoom) and MULTI-TILE zooms (the
     per-(feature,z) covering+clip loop below). Monotonicity makes the split
     exact: if the bbox fits one tile at z it fits at every z' < z."""
+    gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -537,9 +540,9 @@ def clip_shapes_direct(shapes: DataFrame, zooms: list[int],
                     rows["props"].append(props)
                     continue
                 if kind == "polygon":
-                    tiles = K.polygon_covering_tiles(ring, z)
+                    tiles = K.polygon_covering_tiles(ring, z, cap=gcap)
                 else:
-                    tiles = _line_covering_tiles(ring, z)
+                    tiles = _line_covering_tiles(ring, z, cap=gcap)
                 if tiles.shape[0] == 0:
                     continue
                 n_t = float(1 << z)
@@ -666,8 +669,10 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
                     F.explode(F.expr("filter(_zarr, (z, i) -> NOT _st[i])"))
                     .alias("_z"))
             .repartition(n_parts, "feature_id", "_z"))
+    gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
     slow_out = slow.mapInPandas(
-        lambda batches: (slow_batch(bt, extent, pack=pack) for bt in batches),
+        lambda batches: (slow_batch(bt, extent, pack=pack, gcap=gcap)
+                         for bt in batches),
         CLIP_FLAT_SCHEMA)
     return fast_out.unionByName(slow_out)
 
