@@ -113,3 +113,54 @@ def test_real_decode_gate_off_without_env(spark):
     if os.environ.get("TILEGEN_REAL_DECODE"):
         pytest.skip("env already set")
     assert _use_real_decode() is False
+
+
+def test_ivf_dist_matches_collected_and_recall(spark, media):
+    """r6 (VERDICT r5 #2): knn_embeddings_ivf_dist keeps BOTH sides
+    distributed. Same centroids/probes/candidates as the collected variant
+    by construction => pair-level agreement (sims may differ at float-sum
+    order level, so compare id sets + sim values to 1e-9 on the overlap),
+    and recall vs exact at the collected variant's level."""
+    from tile_gen_spark.operators.knn import (knn_embeddings,
+                                              knn_embeddings_ivf,
+                                              knn_embeddings_ivf_dist)
+    emb = M.embed_media(media, dim=16).withColumnRenamed("media_id", "vec_id").cache()
+    q = emb.filter("vec_id % 20 = 0")
+    exact = knn_embeddings(q, emb, k=3).select("query_id", "neighbor_id").cache()
+    coll = knn_embeddings_ivf(q, emb, k=3, n_centroids=16, nprobe=6).cache()
+    dist = knn_embeddings_ivf_dist(q, emb, k=3, n_centroids=16, nprobe=6).cache()
+    # identical (query, neighbor) pair sets
+    a = coll.select("query_id", "neighbor_id")
+    b = dist.select("query_id", "neighbor_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # sims agree to float tolerance on every pair
+    j = coll.alias("c").join(dist.alias("d"), ["query_id", "neighbor_id"])
+    bad = j.filter(F.abs(F.col("c.cos_sim") - F.col("d.cos_sim")) > 1e-9)
+    assert bad.count() == 0
+    # recall floor vs exact (same floor the collected variant clears)
+    recall = b.intersect(exact).count() / exact.count()
+    assert recall >= 0.6, recall
+
+
+def test_embed_near_dup_overflow_guard(spark):
+    """r6 (ADVICE r5 #4): components whose quantized magnitude would
+    overflow the exact int64 refine must raise in-plan, not silently
+    wrap. In-range inputs are untouched."""
+    from pyspark.sql.utils import PythonException
+    from py4j.protocol import Py4JJavaError
+    from tile_gen_spark.operators.knn import embedding_near_dup_pairs
+
+    dim = 4
+    ok = spark.createDataFrame(
+        [(1, [0.5] * dim), (2, [0.5] * dim)], "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(ok, tau_num=1, tau_den=2, planes=8,
+                                     band_bits=2, quant=1_000_000, dim=dim)
+    assert pairs.count() == 1  # identical vectors are near-dups
+
+    big = spark.createDataFrame(
+        [(1, [4000.0] * dim), (2, [4000.0] * dim)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception) as ei:
+        embedding_near_dup_pairs(big, tau_num=1, tau_den=2, planes=8,
+                                 band_bits=2, quant=1_000_000, dim=dim).count()
+    assert "overflow" in str(ei.value)
