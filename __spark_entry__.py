@@ -15,6 +15,7 @@ are exposed as rows-only queries (no oracle entry) per the driver contract.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -824,7 +825,11 @@ def _run_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     pairs = embedding_near_dup_pairs(emb, **_ENDUP)
     verts = emb.select(F.col("vec_id").alias("id"))
-    return near_dup_groups(verts, pairs)
+    # ADVICE r5: surface the non-convergence knob — templated/drifting
+    # corpora can have deeper-than-default components
+    return near_dup_groups(
+        verts, pairs,
+        max_iter=int(os.environ.get("TILEGEN_CC_MAX_ITER", "25")))
 
 
 def q_near_dup_groups_oracle(d: str) -> str:
