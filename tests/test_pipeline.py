@@ -324,6 +324,32 @@ def test_mvt_encode_tiles_spark(spark, features):
     assert len(layer["features"]) == row["n_features"]
 
 
+def test_mvt_tree_sink(spark, features, tmp_path):
+    """r6 (VERDICT r5 #5): write_mvt_tree lays encoded tiles out as
+    out/z/x/y.mvt; every written file is byte-identical to its column, the
+    reported counts match, and no stray tmp files survive."""
+    import os
+    from tile_gen_spark.operators.tiles import build_tile_features
+    from tile_gen_spark.operators.mvt import encode_tiles, write_mvt_tree
+
+    enc = encode_tiles(build_tile_features(features, [4])).cache()
+    out = str(tmp_path / "tree")
+    res = write_mvt_tree(enc, out)
+    rows = enc.collect()
+    assert res["n_tiles"] == len(rows)
+    assert res["n_bytes"] == sum(len(bytes(r["mvt"])) for r in rows)
+    on_disk = []
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            assert not f.endswith(".tmp"), f
+            on_disk.append(os.path.join(root, f))
+    assert len(on_disk) == len(rows)
+    for r in rows:  # every tile byte-identical to its column
+        p = os.path.join(out, str(r["z"]), str(r["x"]), f"{r['y']}.mvt")
+        with open(p, "rb") as f:
+            assert f.read() == bytes(r["mvt"])
+
+
 def test_zoom_density_grouped_agg(spark, features):
     from tile_gen_spark.operators.tiles import clip_shapes_direct
     from tile_gen_spark.operators.raster import rasterize_tiles, zoom_density_stats

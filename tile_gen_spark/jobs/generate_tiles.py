@@ -41,7 +41,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--split-layers", action="store_true",
                     help="with --mvt: one layer per geometry kind "
                          "(point/line/polygon) instead of a single layer")
+    ap.add_argument("--mvt-tree", default=None, metavar="DIR",
+                    help="with --mvt: additionally write every tile as "
+                         "DIR/z/x/y.mvt (static tile-server layout; DIR "
+                         "must be writable from every executor)")
     args = ap.parse_args(argv)
+    if args.mvt_tree and not args.mvt:
+        ap.error("--mvt-tree requires --mvt")
 
     from ..plans.session import get_spark
     from ..sources.synth import gen_pages
@@ -72,6 +78,11 @@ def main(argv: list[str] | None = None) -> None:
 
     stats = run_tile_job(spark, feats, args.out, args.manifest, zooms,
                          salt=salt, mvt=args.mvt, split_layers=args.split_layers)
+    if args.mvt_tree:
+        from ..operators.mvt import write_mvt_tree
+        tree = write_mvt_tree(spark.read.parquet(args.out), args.mvt_tree)
+        stats.update({"mvt_tree_tiles": tree["n_tiles"],
+                      "mvt_tree_bytes": tree["n_bytes"]})
     stats.update({"salt": salt, "wall_sec": round(time.time() - t0, 1),
                   "n_features": feats.count()})
     print(json.dumps(stats))

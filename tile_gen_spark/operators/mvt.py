@@ -337,3 +337,48 @@ def encode_tiles(tile_features: DataFrame, layer_name: str = "features",
 
     return (tile_features.select("z", "x", "y", "n_features", "features")
             .mapInPandas(fn, "z int, x bigint, y bigint, n_features int, mvt binary"))
+
+
+def write_mvt_tree(encoded: DataFrame, out_dir: str) -> dict:
+    """S4 optional file-tree sink (SURVEY §2.1 "optional z/x/y.mvt files"):
+    write every encoded tile of ``encode_tiles``'s output to
+    ``out_dir/z/x/y.mvt`` — the layout a stock tile server (tileserver-gl,
+    nginx static) serves directly.
+
+    Executor-side and embarrassingly parallel: each task writes its own
+    partition's files; nothing is collected to the driver (the return value
+    is a two-long aggregate). ``out_dir`` must be writable from every
+    executor — a shared filesystem (NFS/Lustre/fuse mount) on a real
+    cluster; for object stores keep the parquet sink and point the server
+    at it instead. Per-file writes are atomic (unique tmp + rename), so
+    task retries and speculative attempts can't leave torn tiles, and
+    (z, x, y) is unique upstream so attempts of the same task converge to
+    identical bytes. Returns {"n_tiles", "n_bytes"}.
+    """
+    import os as _os
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        total = 0
+        for b in batches:
+            for z, x, y, mvt in zip(b["z"], b["x"], b["y"], b["mvt"]):
+                d = _os.path.join(out_dir, str(int(z)), str(int(x)))
+                _os.makedirs(d, exist_ok=True)
+                p = _os.path.join(d, f"{int(y)}.mvt")
+                tmp = f"{p}.tmp.{_os.getpid()}"
+                data = bytes(mvt)
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                _os.replace(tmp, p)
+                n += 1
+                total += len(data)
+        yield pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                            "nbytes": pd.Series([total], dtype="int64")})
+
+    from pyspark.sql import functions as F
+    agg = (encoded.select("z", "x", "y", "mvt")
+           .mapInPandas(fn, "n bigint, nbytes bigint")
+           .agg(F.sum("n").alias("n_tiles"), F.sum("nbytes").alias("n_bytes"))
+           .first())
+    return {"n_tiles": int(agg["n_tiles"] or 0),
+            "n_bytes": int(agg["n_bytes"] or 0)}
