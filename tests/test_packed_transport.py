@@ -73,3 +73,42 @@ def test_pack_disabled_for_oversized_extent(monkeypatch):
     assert T._pack_for(65536) is False
     monkeypatch.setenv("TILEGEN_GEOM_PACK", "0")
     assert T._pack_for(4096) is False
+
+
+def test_packed_tile_key_equals_unpacked(spark, features, monkeypatch):
+    """r6 packed tile key (TILEGEN_KEY_PACK): (z,x,y) ride the two agg
+    exchanges as ONE bigint. Pure transport — output must be bit-identical
+    to the unpacked key path, salted and unsalted."""
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            out[(r["z"], r["x"], r["y"])] = tuple(
+                (f["feature_id"], f["kind"],
+                 tuple(tuple(p) for p in f["geom"]),
+                 tuple(sorted((f["props"] or {}).items())))
+                for f in r["features"])
+        return out
+
+    for salt in (0, 2):
+        monkeypatch.setenv("TILEGEN_KEY_PACK", "0")
+        a = canon(T.build_tile_features(features, [3, 6], salt=salt))
+        monkeypatch.setenv("TILEGEN_KEY_PACK", "1")
+        b = canon(T.build_tile_features(features, [3, 6], salt=salt))
+        assert len(a) > 20
+        assert a == b, f"packed tile key diverged at salt={salt}"
+    # z > 29 must refuse the packed key (guard in build_tile_features)
+    assert T.key_pack() is True
+    assert (T.key_pack() and max([3, 30]) <= 29) is False
+
+
+def test_packed_tile_key_pack_roundtrip(spark):
+    """The pack/unpack SQL pair is exact across the full domain corners."""
+    rows = [(0, 0, 0), (12, 4095, 4095), (29, (1 << 29) - 1, (1 << 29) - 1),
+            (7, 1, 127)]
+    df = spark.createDataFrame(rows, "z int, x bigint, y bigint")
+    out = (df.select(F.expr(T._TXY_PACK).alias("_txy"))
+           .select(F.expr("CAST(shiftright(_txy, 58) AS INT)").alias("z"),
+                   F.expr(f"shiftright(_txy, 29) & {T._TXY_MASK}").alias("x"),
+                   F.expr(f"_txy & {T._TXY_MASK}").alias("y")))
+    assert sorted(map(tuple, out.collect())) == sorted(rows)

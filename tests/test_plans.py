@@ -176,8 +176,15 @@ def test_dim_agg_props_skip_all_exchanges(spark):
     n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_shuffle == 2, plan
     assert "BroadcastExchange" in plan
-    # kind/props must not appear in any shuffle Exchange's Input row
+    # kind/props must not appear in any shuffle Exchange's Input row — and
+    # with the r6 packed tile key (default), neither do z/x/y: the key is
+    # one _txy bigint until the post-agg unpack projection
     for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
         cols = m.group(1)
         assert "kind" not in cols and "props" not in cols, cols
+        assert "_txy" in cols and "z#" not in cols, cols
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+    # unpacked-key escape hatch keeps the identical exchange count
+    plan0 = _plan(tile_feature_lists_dim(clipped, dim, salt=4, pack_key=False))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan0)) == 2, plan0

@@ -798,26 +798,51 @@ def build_tile_features(features: DataFrame, zooms: list[int],
         return enrich_tile_features(tiled, dim, broadcast_dim=broadcast_dim,
                                     packed=pack)
     return tile_feature_lists_dim(flat, dim, salt=salt,
-                                  broadcast_dim=broadcast_dim, packed=pack)
+                                  broadcast_dim=broadcast_dim, packed=pack,
+                                  pack_key=key_pack() and max(zooms) <= 29)
+
+
+#: r6 packed tile key: (z,x,y) as ONE bigint through the agg exchanges.
+#: The r6 byte probe (BENCH/BASELINE.md) showed exchange rows average only
+#: ~5 vertices, so the FIXED per-row columns dominate the shuffled bytes:
+#: in UnsafeRow terms z+x+y cost 24 bytes/row where one long costs 8.
+#: Valid for z ≤ 29 (6-bit z, 29-bit x/y — beyond any web-tile zoom);
+#: build_tile_features guards on max(zooms).
+_TXY_PACK = "(CAST(z AS BIGINT) << 58) | (x << 29) | y"
+_TXY_MASK = (1 << 29) - 1
+
+
+def key_pack() -> bool:
+    """Tile-key transport mode (TILEGEN_KEY_PACK, default 1) — resolved at
+    plan-build time in the driver, like geom_pack()."""
+    return os.environ.get("TILEGEN_KEY_PACK", "1") == "1"
 
 
 def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
                            broadcast_dim: bool | None = None,
-                           packed: bool | None = None) -> DataFrame:
+                           packed: bool | None = None,
+                           pack_key: bool | None = None) -> DataFrame:
     """A1/A2 with the props dim joined AFTER the last exchange (default
     props_mode="dim"): kind/props never enter ANY shuffle, and — unlike the
     post-agg enrich variant — there is exactly ONE full-width collect, same
     as the r3 agg count, so the 8-core (compute-bound) cost matches r3 while
     the exchanges carry ~half the bytes.
 
-    Shape: [salted: lean partial collect per (z,x,y,salt) → lean exchange →
+    Shape: [salted: lean partial collect per (key,salt) → lean exchange →
     explode partials back to rows] → broadcast kind/props join + relational
-    geom re-nesting (both preserve the hash(z,x,y) partitioning, so the
+    geom re-nesting (both preserve the hash(key) partitioning, so the
     final groupBy adds NO exchange) → single sorted full collect.
+    ``pack_key`` (None → TILEGEN_KEY_PACK, default on; requires z ≤ 29):
+    the tile key through both exchanges is ONE packed bigint instead of
+    (z int, x, y bigint) — −16 UnsafeRow bytes on every exchange row, with
+    the unpack a post-agg projection on one row per TILE (so partitioning
+    propagation never sees the unpacked columns and no exchange is added).
     ``broadcast_dim=False`` leaves the join unhinted — AQE picks a shuffle
     join for dims too big to broadcast (adds that join's exchange only);
     None reads TILEGEN_BROADCAST_DIM (default: force broadcast).
     """
+    if pack_key is None:
+        pack_key = key_pack()
     d = _dim_join_side(dim.select("feature_id", "kind", "props"), broadcast_dim)
     spark = clipped.sparkSession
     try:
@@ -825,25 +850,38 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
     except (TypeError, ValueError):
         n_agg = spark.sparkContext.defaultParallelism
 
+    keys = ["_txy"] if pack_key else ["z", "x", "y"]
+    src = (clipped.select(F.expr(_TXY_PACK).alias("_txy"),
+                          "feature_id", "geom", "off")
+           if pack_key else clipped)
+
     def finish(rows: DataFrame) -> DataFrame:
         full = (nest_geom(rows, packed=packed).join(d, "feature_id", "left")
-                .select("z", "x", "y",
+                .select(*keys,
                         F.struct("feature_id", "kind", "geom", "props").alias("f")))
-        return (full.groupBy("z", "x", "y")
-                .agg(_by_fid(F.collect_list("f")).alias("features"))
-                .withColumn("n_features", F.size("features")))
+        agged = (full.groupBy(*keys)
+                 .agg(_by_fid(F.collect_list("f")).alias("features"))
+                 .withColumn("n_features", F.size("features")))
+        if not pack_key:
+            return agged
+        # unpack on one row per TILE, after the last exchange and agg
+        return agged.select(
+            F.expr("CAST(shiftright(_txy, 58) AS INT)").alias("z"),
+            F.expr(f"shiftright(_txy, 29) & {_TXY_MASK}").alias("x"),
+            F.expr(f"_txy & {_TXY_MASK}").alias("y"),
+            "features", "n_features")
 
     if salt <= 1:
-        return finish(clipped.repartition(n_agg, "z", "x", "y"))
+        return finish(src.repartition(n_agg, *keys))
     lean = F.struct(F.col("feature_id"), F.col("geom"), F.col("off"))
-    two = (clipped
+    two = (src
            .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
-           .repartition(n_agg * 2, "z", "x", "y", "_salt")
-           .groupBy("z", "x", "y", "_salt")
+           .repartition(n_agg * 2, *keys, "_salt")
+           .groupBy(*keys, "_salt")
            .agg(F.collect_list(lean).alias("_part")))
-    rows = (two.repartition(n_agg, "z", "x", "y")
-            .select("z", "x", "y", F.explode("_part").alias("f"))
-            .select("z", "x", "y", F.col("f.feature_id").alias("feature_id"),
+    rows = (two.repartition(n_agg, *keys)
+            .select(*keys, F.explode("_part").alias("f"))
+            .select(*keys, F.col("f.feature_id").alias("feature_id"),
                     F.col("f.geom").alias("geom"), F.col("f.off").alias("off")))
     return finish(rows)
 
