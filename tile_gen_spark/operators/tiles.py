@@ -625,12 +625,24 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
     n_parts = _n_clip_parts(shapes)
 
     # relational zoom split: bbox corner tiles (same G2 SQL text as the point
-    # path, so the split can never disagree with the kernels) — codegen'd,
-    # zero Python. NOTE: a head repartition(n, feature_id) here was measured
-    # SLOWER at both core counts (+11 s at local[32]) — the extra coords
-    # exchange costs more than the widened HOF parallelism buys; the session
-    # instead caps AQE's advisory partition size so the upstream window
-    # exchange keeps enough partitions.
+    # path, so the split can never disagree with the kernels) — zero Python.
+    #
+    # r7 (the round's biggest pipeline find): the bbox min/max are
+    # interpreted higher-order functions (CodegenFallback, no subexpression
+    # elimination), and CollapseProject used to INLINE their aliases into
+    # every one of the 13 corner-tile conds × 4 references × both branches —
+    # re-walking each feature's coord arrays ~50-100× per row. Measured:
+    # noop of the fast branch alone cost 68 s at local[32] with the inlined
+    # form. The fix is a materialization BARRIER: evaluate the four HOFs
+    # once per feature, then repartition — the exchange materializes them as
+    # plain double columns CollapseProject cannot reach through, and it
+    # doubles as the fast branch's wave-balancing spread (hash(feature_id),
+    # same n_parts as before) while both branches now REUSE one exchange
+    # (guide §2.4 "two operations keyed the same way share one exchange").
+    # The per-z conds downstream are scalar floor/trig — cheap even where
+    # the _zs/_st HOF lambdas re-evaluate them per element. (The pre-r7
+    # "head repartition measured slower" note referred to a repartition IN
+    # ADDITION to per-branch exchanges, not this replacement of them.)
     flat = F.flatten(F.col("coords"))
     xs = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 0, v)),
                   lambda v: v.isNotNull())
@@ -645,20 +657,26 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
                              F.array_max(xs).alias("_maxlon"),
                              F.array_min(ys).alias("_minlat"),
                              F.array_max(ys).alias("_maxlat"))
+               .repartition(n_parts, "feature_id")   # ← HOF barrier + spread
                .withColumn("_zarr", F.array(*[F.lit(z).cast("int") for z in zooms]))
                .withColumn("_st", F.array(*conds)))
 
     # coords ship ONCE per feature (not once per zoom); per-feature fast
-    # work is O(verts × |_zs|) with low variance, and the head repartition
-    # already hash-spread by feature_id, so no further exchange is needed
+    # work is O(verts × |_zs|) with low variance, and the barrier exchange
+    # above already hash-spread by feature_id — no further exchange needed.
+    #
+    # r7: the zoom lists are selected with zip_with(_zarr, _st, …) rather
+    # than filter(_zarr, (z, i) -> _st[i]) — a lambda that REFERENCES _st
+    # gets the whole 13-cond array inlined into the lambda body and
+    # re-evaluated per element (13 × 13 = 169 interpreted trig-cond evals
+    # per row, measured ~63 s on the fast branch alone); as a zip_with
+    # ARGUMENT the cond array is evaluated once per row. Zooms are ≥ 0 so
+    # -1 is a safe sentinel.
     fast = (base_df
             .select("feature_id", "kind", "coords",
-                    F.expr("filter(_zarr, (z, i) -> _st[i])").alias("_zs"))
-            .filter(F.size("_zs") > 0)
-            # coords ship ONCE per feature (not once per zoom); per-feature
-            # fast work is O(verts × |_zs|) with low variance, so plain
-            # feature_id hash-spread balances the waves
-            .repartition(n_parts, "feature_id"))
+                    F.expr("filter(zip_with(_zarr, _st, (z, s) -> if(s, z, -1)), "
+                           "v -> v >= 0)").alias("_zs"))
+            .filter(F.size("_zs") > 0))
     fast_out = fast.mapInPandas(
         lambda batches: (_fast_batch(bt, extent, pack) for bt in batches),
         CLIP_FLAT_SCHEMA)
@@ -666,8 +684,9 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
     from .clip_vec import slow_batch
     slow = (base_df
             .select("feature_id", "kind", "coords",
-                    F.explode(F.expr("filter(_zarr, (z, i) -> NOT _st[i])"))
-                    .alias("_z"))
+                    F.explode(F.expr(
+                        "filter(zip_with(_zarr, _st, (z, s) -> if(s, -1, z)), "
+                        "v -> v >= 0)")).alias("_z"))
             .repartition(n_parts, "feature_id", "_z"))
     gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
     slow_out = slow.mapInPandas(
