@@ -141,33 +141,51 @@ def assemble_rows(rows: dict[str, list], qx3, qy3, S3, L3, inst_keep, flip,
     array<array<int>> — and no kind/props. The per-(tile, zoom) row payload
     through the two agg exchanges was ~2x what it needed to be (VERDICT r3
     "What's wrong #1"); kind/props rejoin once per FEATURE post-agg and the
-    nested view is rebuilt relationally (tiles.nest_geom)."""
+    nested view is rebuilt relationally (tiles.nest_geom).
+
+    r7: vectorized — one gather with per-instance optional reversal over all
+    kept instances, np.split at per-unit boundaries (kept instances of a
+    unit are contiguous: inst_unit is non-decreasing by construction in
+    every caller), so per-row Python shrinks from slice/flip/ravel/tolist
+    per instance (~6.6 µs/output row, cProfile) to one split+tolist.
+    Output rows and values are byte-identical to the loop form."""
+    kept = np.nonzero(inst_keep)[0]
+    if kept.size == 0:
+        return
     if pack:
         # r5 packed transport: one (qx<<16|qy) int per vertex
-        out = ((qx3.astype(np.int32) << np.int32(16))
-               | qy3.astype(np.int32)).reshape(-1, 1)
+        out = (qx3.astype(np.int32) << np.int32(16)) | qy3.astype(np.int32)
+        width = 1
     else:
         out = np.empty((qx3.size, 2), dtype=np.int32)
         out[:, 0] = qx3
         out[:, 1] = qy3
-    cur = -1
-    for ii in np.nonzero(inst_keep)[0]:
-        u = int(inst_unit[ii])
-        piece = out[S3[ii]:S3[ii] + L3[ii]]
-        if flip[ii]:
-            piece = piece[::-1]
-        lst = piece.ravel().tolist()
-        if u != cur:
-            rows["z"].append(int(unit_z[u]))
-            rows["x"].append(int(unit_x[u]))
-            rows["y"].append(int(unit_y[u]))
-            rows["feature_id"].append(unit_fid[u])
-            rows["geom"].append(lst)
-            rows["off"].append([0, len(lst)])
-            cur = u
-        else:
-            rows["geom"][-1].extend(lst)
-            rows["off"][-1].append(len(rows["geom"][-1]))
+        width = 2
+    Lk = L3[kept].astype(np.int64)
+    fk = flip[kept]
+    start = np.where(fk, S3[kept] + Lk - 1, S3[kept])
+    step = np.where(fk, np.int64(-1), np.int64(1))
+    vidx = np.repeat(start, Lk) + _ragged_arange(Lk) * np.repeat(step, Lk)
+    vals = out[vidx].ravel()
+    units = inst_unit[kept]
+    ub = np.nonzero(np.diff(units))[0] + 1
+    u_starts = np.concatenate([[0], ub]).astype(np.int64)
+    u_end = np.concatenate([ub, [kept.size]]).astype(np.int64)
+    u_ids = units[u_starts]
+    ints_per_inst = Lk * width
+    csum = np.cumsum(ints_per_inst)
+    row_ints = np.add.reduceat(ints_per_inst, u_starts)
+    splits = np.cumsum(row_ints)[:-1]
+    rows["z"].extend(np.asarray(unit_z)[u_ids].tolist())
+    rows["x"].extend(np.asarray(unit_x)[u_ids].tolist())
+    rows["y"].extend(np.asarray(unit_y)[u_ids].tolist())
+    rows["feature_id"].extend(np.asarray(unit_fid)[u_ids].tolist())
+    rows["geom"].extend(a.tolist() for a in np.split(vals, splits))
+    pre = np.concatenate([[0], csum[:-1]])
+    rel = csum - np.repeat(pre[u_starts], u_end - u_starts)
+    off_all = rel.tolist()
+    rows["off"].extend([0] + off_all[s:e]
+                       for s, e in zip(u_starts.tolist(), u_end.tolist()))
 
 
 def _sh_pass(vx: np.ndarray, vy: np.ndarray, L: np.ndarray,
@@ -405,20 +423,33 @@ def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     the exact covering (which is what the clip itself computes). Returns
     (weight, grid_cells) so slow_batch can route bbox-sparse rows (grid over
     TILEGEN_GRID_CAP) to the sparse core."""
-    w = np.empty(len(b), np.int64)
-    g = np.empty(len(b), np.int64)
+    # r7: vectorized over the whole batch — the per-row loop (scalar
+    # nan_to_num + a point_to_tile call per row) cost ~165 µs/row, more
+    # than the chunking it guards saves (cProfile: ~4 of the slow stage's
+    # 6.4 s wall went to this estimator). One concatenated ring-0 vertex
+    # array + segment min/max via reduceat computes identical weights.
+    n = len(b)
     zs = b["_z"].to_numpy(np.int64)
-    for i, (coords, z) in enumerate(zip(b["coords"], zs)):
-        nv = sum(len(c) // 2 for c in coords)
-        r = np.asarray(coords[0], np.float64).reshape(-1, 2)
-        lon = np.nan_to_num(r[:, 0], nan=0.0, posinf=180.0, neginf=-180.0)
-        lat = np.clip(np.nan_to_num(r[:, 1], nan=0.0, posinf=K.MAX_LAT,
-                                    neginf=-K.MAX_LAT), -K.MAX_LAT, K.MAX_LAT)
-        tx, ty = K.point_to_tile(lon, lat, int(z))
-        grid = (int(tx.max()) - int(tx.min()) + 1) * (int(ty.max()) - int(ty.min()) + 1)
-        g[i] = grid
-        w[i] = max(grid * nv, 1)
-    return w, g
+    coords_list = b["coords"].tolist()
+    nv = np.fromiter((sum(len(c) for c in cs) // 2 for cs in coords_list),
+                     np.int64, n)
+    r0 = [np.asarray(cs[0], np.float64) for cs in coords_list]
+    L = np.fromiter((a.size // 2 for a in r0), np.int64, n)
+    allv = np.concatenate(r0).reshape(-1, 2)
+    lon = np.nan_to_num(allv[:, 0], nan=0.0, posinf=180.0, neginf=-180.0)
+    lat = np.clip(np.nan_to_num(allv[:, 1], nan=0.0, posinf=K.MAX_LAT,
+                                neginf=-K.MAX_LAT), -K.MAX_LAT, K.MAX_LAT)
+    n_v = np.repeat(np.power(2.0, zs.astype(np.float64)), L)
+    xt = np.clip(np.floor((lon + 180.0) / 360.0 * n_v), 0, n_v - 1)
+    lat_r = np.radians(lat)
+    yt = np.clip(np.floor(
+        (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n_v),
+        0, n_v - 1)
+    S = np.cumsum(L) - L
+    grid = ((np.maximum.reduceat(xt, S) - np.minimum.reduceat(xt, S) + 1.0)
+            * (np.maximum.reduceat(yt, S) - np.minimum.reduceat(yt, S) + 1.0)
+            ).astype(np.int64)
+    return np.maximum(grid * nv, 1), grid
 
 
 def slow_batch(b: pd.DataFrame, extent: int,

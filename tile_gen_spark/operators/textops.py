@@ -169,7 +169,28 @@ JOIN sizes zb ON zb.doc_id = p.doc_b
 
 
 def q_simhash(d: str, bits: int = 16) -> str:
-    """Per-doc SimHash fingerprint over token hashes (bit-majority vote)."""
+    """Per-doc SimHash fingerprint over token hashes (bit-majority vote).
+
+    r7 Spark-side restructure (oracle text unchanged, results identical —
+    same pattern as q_minhash_pairs): the per-bit majority votes are
+    ``bits`` SUM-AGGREGATE COLUMNS over the token-hash stream instead of a
+    tokens × bit-table CROSS JOIN — no 16× row blowup, one md5 per token,
+    ONE aggregation on doc_id whose map-side partial leaves one row per
+    doc, and the final fingerprint is a pure projection (guide §2.3/§2.4).
+    """
+    if d == S.SPARK:
+        h = S.md5_bigint("w", d)
+        sums = ", ".join(
+            f"sum(CASE WHEN CAST(floor(h / CAST({1 << i} AS DOUBLE)) AS BIGINT) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS s{i}" for i in range(bits))
+        fp = " + ".join(
+            f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+        return f"""
+WITH toks AS ({words_cte(d)}),
+tokh AS (SELECT doc_id, {h} % {1 << bits} AS h FROM toks),
+bitsums AS (SELECT doc_id, {sums} FROM tokh GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums
+"""
     rows = ", ".join(f"({i}, {1 << i})" for i in range(bits))
     bt = f"(VALUES {rows}) AS bt(i, p2)"
     h = S.md5_bigint("w", d)
@@ -193,6 +214,20 @@ def q_simhash_near_dups(d: str, bits: int = 16, max_hamming: int = 2) -> str:
     half = bits // 2
     lo = f"(simhash % {1 << half})"
     hi = f"CAST(floor(simhash / {1 << half}.0) AS BIGINT)"
+    if d == S.SPARK:
+        # r7: exact hamming via bit_count(xor) — one codegen'd expression
+        # per candidate pair instead of a 16-row bit-table cross join + agg
+        # (oracle text unchanged; identical counts).
+        return f"""
+WITH sims AS ({q_simhash(d, bits).strip()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, a.simhash AS sim_a, b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+   AND ({lo.replace('simhash', 'a.simhash')} = {lo.replace('simhash', 'b.simhash')}
+        OR {hi.replace('simhash', 'a.simhash')} = {hi.replace('simhash', 'b.simhash')}))
+SELECT doc_a, doc_b, CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming FROM cand
+WHERE bit_count(sim_a ^ sim_b) <= {max_hamming}
+"""
     rows = ", ".join(f"({i}, {1 << i})" for i in range(bits))
     bt = f"(VALUES {rows}) AS bt(i, p2)"
     xor = (f"CAST(floor(a.sim_a / CAST(bt.p2 AS DOUBLE)) AS BIGINT) % 2 "

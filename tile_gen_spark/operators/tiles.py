@@ -440,36 +440,16 @@ def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFram
     flip = poly_ok & ((area2 > 0.0) != (ring_ord == 0))
 
     # --- assemble output rows (flat geom + prefix offsets; packed mode:
-    # one (qx<<16|qy) int per vertex, off NULL when single-piece) -----------
-    if pack:
-        out = ((qx3.astype(np.int32) << np.int32(16))
-               | qy3.astype(np.int32)).reshape(-1, 1)
-    else:
-        out = np.empty((qx3.size, 2), dtype=np.int32)
-        out[:, 0] = qx3
-        out[:, 1] = qy3
+    # one (qx<<16|qy) int per vertex, off NULL when single-piece).
+    # r7: shared vectorized assembler (clip_vec.assemble_rows) replaces the
+    # per-instance Python loop — identical rows, one gather + split instead
+    # of slice/flip/tolist per instance.
+    from .clip_vec import assemble_rows
     fids = b["feature_id"].to_numpy()
     rows: dict[str, list] = {k: [] for k in (
         "z", "x", "y", "feature_id", "geom", "off")}
-    cur = -1
-    for ii in np.nonzero(inst_keep)[0]:
-        u = int(inst_unit[ii])
-        piece = out[S3[ii]:S3[ii] + L3[ii]]
-        if flip[ii]:
-            piece = piece[::-1]
-        lst = piece.ravel().tolist()
-        if u != cur:
-            f = int(unit_feat[u])
-            rows["z"].append(int(unit_z[u]))
-            rows["x"].append(int(tx[u]))
-            rows["y"].append(int(ty[u]))
-            rows["feature_id"].append(int(fids[f]))
-            rows["geom"].append(lst)
-            rows["off"].append([0, len(lst)])
-            cur = u
-        else:
-            rows["geom"][-1].extend(lst)
-            rows["off"][-1].append(len(rows["geom"][-1]))
+    assemble_rows(rows, qx3, qy3, S3, L3, inst_keep, flip, inst_unit,
+                  unit_z, tx, ty, fids[unit_feat], pack=pack)
     offs = ([None if len(o) == 2 else o for o in rows["off"]]
             if pack else rows["off"])
     return pd.DataFrame({
