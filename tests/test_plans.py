@@ -159,9 +159,11 @@ def test_flat_agg_enrich_is_exchange_free(spark):
 
 def test_dim_agg_props_skip_all_exchanges(spark):
     """Default props_mode="dim" plan shape (tile_feature_lists_dim): exactly
-    the two salted exchanges (lean rows — no kind/props columns in either
-    exchange's Input) plus one BroadcastExchange for the dim; the final
-    full-width collect adds NO shuffle."""
+    ONE exchange (r7 — the salted two-phase's second exchange + explode was
+    measured pure overhead in this variant since every post-exchange stage
+    runs per row in one task either way), lean rows (no kind/props columns
+    in the exchange's Input), plus one BroadcastExchange for the dim; the
+    nest/join/final full-width collect add NO shuffle."""
     from tile_gen_spark.operators.tiles import tile_feature_lists_dim
     clipped = spark.range(200).select(
         (F.col("id") % 2).cast("int").alias("z"), (F.col("id") % 4).alias("x"),
@@ -174,7 +176,7 @@ def test_dim_agg_props_skip_all_exchanges(spark):
     out = tile_feature_lists_dim(clipped, dim, salt=4)
     plan = _plan(out)
     n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    assert n_shuffle == 2, plan
+    assert n_shuffle == 1, plan
     assert "BroadcastExchange" in plan
     # kind/props must not appear in any shuffle Exchange's Input row — and
     # with the r6 packed tile key (default), neither do z/x/y: the key is
@@ -187,4 +189,13 @@ def test_dim_agg_props_skip_all_exchanges(spark):
 
     # unpacked-key escape hatch keeps the identical exchange count
     plan0 = _plan(tile_feature_lists_dim(clipped, dim, salt=4, pack_key=False))
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan0)) == 2, plan0
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan0)) == 1, plan0
+
+    # the pre-r7 two-phase reference shape stays selectable for A/B
+    import os
+    os.environ["TILEGEN_DIM_TWOPHASE"] = "1"
+    try:
+        plan2 = _plan(tile_feature_lists_dim(clipped, dim, salt=4))
+        assert len(re.findall(r"\(\d+\) Exchange\b", plan2)) == 2, plan2
+    finally:
+        del os.environ["TILEGEN_DIM_TWOPHASE"]

