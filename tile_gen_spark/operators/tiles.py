@@ -688,21 +688,46 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
                      pack: bool | None = None) -> DataFrame:
     """clip_points_relational's flat twin (CLIP_FLAT_SCHEMA) — still pure
     Spark SQL, zero Python; geom = [qx, qy] (packed: [(qx<<16)|qy], off
-    NULL), off = [0, 2]."""
+    NULL), off = [0, 2].
+
+    r7 (guide §1.2 per-task work, same restructure as the r7
+    q_tile_assign_multizoom): the per-row tile FRACTIONS
+    fx = (lon+180)/360 and fy = (1 − merc/π)/2 are zoom-independent, so the
+    ln/tan/cos mercator trig runs ONCE per point instead of once per zoom
+    (the 13-entry struct array evaluated tile_y's transcendentals 13× and
+    quantize_y's another 13×). Per zoom, x = clamp(floor(fx·n)) and
+    qx = clamp(floor((fx·n − x)·extent + 0.5)) are pure arithmetic on the
+    fractions. Bit-identical by construction: sqlgen.tile_x/quantize_x parse
+    as ((lon+180)/360)·n, so fx·n (and fy·pow(2,z), a power of two, exact)
+    is the same float64 sequence — pinned by the fixture byte-identity and
+    fastpath parity pytests. The fractions are computed in a projection
+    BELOW the explode, so they are attributes (not inlined copies) inside
+    the generator's 13 structs."""
     if pack is None:
         pack = _pack_for(extent)
     pts = with_lonlat(points).select("feature_id", "lon", "lat")
+    la = S.clamped_lat("lat")
+    merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
+    frac = pts.select(
+        "feature_id",
+        F.expr("((lon) + 180.0) / 360.0").alias("_fx"),
+        F.expr(f"(1.0 - {merc} / pi()) / 2.0").alias("_fy"))
     entries = []
     for z in zooms:
-        qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z), extent)
-        qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z), extent)
+        n = 1 << z
+        tx = f"CAST(least(greatest(floor(_fx * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
+        ty = f"CAST(least(greatest(floor(_fy * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
+        qx = (f"CAST(least(greatest(floor((_fx * pow(2.0, {z}.0) - ({tx})) "
+              f"* {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+        qy = (f"CAST(least(greatest(floor((_fy * pow(2.0, {z}.0) - ({ty})) "
+              f"* {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
         entries.append(F.struct(
             F.lit(z).cast("int").alias("z"),
-            F.expr(S.tile_x("lon", z)).alias("x"),
-            F.expr(S.tile_y("lat", z)).alias("y"),
+            F.expr(tx).alias("x"),
+            F.expr(ty).alias("y"),
             F.expr(qx).alias("qx"),
             F.expr(qy).alias("qy")))
-    ex = pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
+    ex = frac.select("feature_id", F.explode(F.array(*entries)).alias("t"))
     if pack:
         return ex.select(
             "t.z", "t.x", "t.y", "feature_id",
