@@ -305,7 +305,25 @@ def test_fused_extract_parse_equivalence(spark, pages, features):
     def cmp_form(df):  # set ops reject MAP columns → serialize props
         return df.withColumn("props", F.to_json("props"))
 
-    fused = cmp_form(validity_filter(extract_and_parse(latest_per_url(pages))))
+    fused_df = validity_filter(extract_and_parse(latest_per_url(pages)))
+    # r7: extract_and_parse additionally carries the python-computed bbox
+    # (FEATURES_BBOX_SCHEMA); the parse CONTENT must stay identical on the
+    # shared columns, and the bbox must equal the relational min/max
+    bbox = fused_df.select(
+        "feature_id", "_minlon", "_maxlon", "_minlat", "_maxlat",
+        F.expr("array_min(filter(transform(flatten(coords), "
+               "(v, i) -> if(i % 2 = 0, v, null)), v -> v IS NOT NULL))").alias("mn"),
+        F.expr("array_max(filter(transform(flatten(coords), "
+               "(v, i) -> if(i % 2 = 0, v, null)), v -> v IS NOT NULL))").alias("mx"),
+        F.expr("array_min(filter(transform(flatten(coords), "
+               "(v, i) -> if(i % 2 = 1, v, null)), v -> v IS NOT NULL))").alias("my0"),
+        F.expr("array_max(filter(transform(flatten(coords), "
+               "(v, i) -> if(i % 2 = 1, v, null)), v -> v IS NOT NULL))").alias("my1"))
+    bad = bbox.filter(
+        (F.col("_minlon") != F.col("mn")) | (F.col("_maxlon") != F.col("mx"))
+        | (F.col("_minlat") != F.col("my0")) | (F.col("_maxlat") != F.col("my1")))
+    assert bad.count() == 0
+    fused = cmp_form(fused_df.select(*features.columns))
     base = cmp_form(features)
     assert fused.exceptAll(base).count() == 0
     assert base.exceptAll(fused).count() == 0

@@ -27,6 +27,18 @@ from pyspark.sql.functions import pandas_udf
 FEATURES_SCHEMA = ("url string, feature_id bigint, kind string, "
                    "coords array<array<double>>, props map<string,string>")
 
+#: r7: extract_and_parse (the fused hot path) additionally emits the
+#: per-feature coordinate bbox over ALL rings, computed while the rings are
+#: still Python lists (~µs/feature). Downstream the shape-clip zoom split
+#: needs exactly this bbox, and computing it relationally cost 4 interpreted
+#: higher-order walks of `coords` per feature (flatten+transform+filter per
+#: alias, no CSE across CodegenFallback exprs — measured 91 CPU-s / 208
+#: µs-per-feature at the bench shape, the single hottest JVM stage of the
+#: clip). parse_geo_features keeps the lean FEATURES_SCHEMA; consumers fall
+#: back to the relational walk when the columns are absent.
+FEATURES_BBOX_SCHEMA = (FEATURES_SCHEMA + ", _minlon double, _maxlon double, "
+                        "_minlat double, _maxlat double")
+
 _TITLE_RE = r"<title>(.*?)</title>"
 _PARA_RE = r"<p>(.*?)</p>"
 _GEO_RE = re.compile(r"@@geo (point|line|poly) ([^@]*)@@")
@@ -90,7 +102,14 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
     The hot-path version of extract_text + parse_geo_features: halves the
     Python stage count (worker spin-ups, Arrow hops) and never materializes
     the intermediate text column through the JVM. The standalone extract_text
-    UDF remains the byte-identity artifact (same _TITLE_RE/_PARA_RE logic)."""
+    UDF remains the byte-identity artifact (same _TITLE_RE/_PARA_RE logic).
+
+    r7: also emits the per-feature all-rings coordinate bbox
+    (FEATURES_BBOX_SCHEMA) — built-in min/max over the ring lists while
+    they're in hand, replacing 4 interpreted JVM array walks per feature in
+    the shape clip (91 CPU-s at the bench shape). Values are exact float64
+    selections, identical to the relational array_min/array_max they replace
+    on NaN-free coords (the pipeline applies validity_filter upstream)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -101,6 +120,7 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
                 lambda ls: "\n".join(ls) if isinstance(ls, list) else "")
             text = title.fillna("") + np.where(paras.str.len() > 0, "\n" + paras, "")
             urls, fids, kinds, coords, props = [], [], [], [], []
+            mnx, mxx, mny, mxy = [], [], [], []
             for url, t in zip(b["url"], text):
                 if t is None or t != t:
                     continue
@@ -114,15 +134,23 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
                     kinds.append(kind)
                     coords.append(rings)
                     props.append({"src": "geo-span", "i": str(idx)})
+                    mnx.append(min(min(r[0::2]) for r in rings))
+                    mxx.append(max(max(r[0::2]) for r in rings))
+                    mny.append(min(min(r[1::2]) for r in rings))
+                    mxy.append(max(max(r[1::2]) for r in rings))
             yield pd.DataFrame({
                 "url": pd.Series(urls, dtype="string"),
                 "feature_id": pd.Series(fids, dtype="int64"),
                 "kind": pd.Series(kinds, dtype="string"),
                 "coords": pd.Series(coords, dtype=object),
                 "props": pd.Series(props, dtype=object),
+                "_minlon": pd.Series(mnx, dtype="float64"),
+                "_maxlon": pd.Series(mxx, dtype="float64"),
+                "_minlat": pd.Series(mny, dtype="float64"),
+                "_maxlat": pd.Series(mxy, dtype="float64"),
             })
 
-    return pages.select("url", "html").mapInPandas(fn, FEATURES_SCHEMA)
+    return pages.select("url", "html").mapInPandas(fn, FEATURES_BBOX_SCHEMA)
 
 
 def _parse_span(m) -> tuple[str, list[list[float]]] | None:

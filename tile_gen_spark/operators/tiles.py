@@ -630,20 +630,33 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
     # the _zs/_st HOF lambdas re-evaluate them per element. (The pre-r7
     # "head repartition measured slower" note referred to a repartition IN
     # ADDITION to per-branch exchanges, not this replacement of them.)
-    flat = F.flatten(F.col("coords"))
-    xs = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 0, v)),
-                  lambda v: v.isNotNull())
-    ys = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 1, v)),
-                  lambda v: v.isNotNull())
     conds = [F.expr(
         f"({S.tile_x('_minlon', z)}) = ({S.tile_x('_maxlon', z)}) AND "
         f"({S.tile_y('_maxlat', z)}) = ({S.tile_y('_minlat', z)})")
         for z in zooms]
-    base_df = (shapes.select("feature_id", "kind", "coords",
-                             F.array_min(xs).alias("_minlon"),
-                             F.array_max(xs).alias("_maxlon"),
-                             F.array_min(ys).alias("_minlat"),
-                             F.array_max(ys).alias("_maxlat"))
+    bbox_cols = ("_minlon", "_maxlon", "_minlat", "_maxlat")
+    if set(bbox_cols).issubset(shapes.columns):
+        # r7: the extract stage already computed the all-rings bbox in
+        # Python (extract.FEATURES_BBOX_SCHEMA) — the 4 interpreted HOF
+        # walks below cost 91 CPU-s / 208 µs-per-feature at the bench shape
+        # (the hottest JVM stage of the clip, UI stage metrics); here they
+        # collapse to plain column reads. Exact same float64 values on
+        # NaN-free input (validity_filter runs upstream in every pipeline).
+        sel = shapes.select("feature_id", "kind", "coords", *bbox_cols)
+    else:
+        # fallback for bare FEATURES_SCHEMA inputs (parse_geo_features,
+        # tests): relational bbox via higher-order functions
+        flat = F.flatten(F.col("coords"))
+        xs = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 0, v)),
+                      lambda v: v.isNotNull())
+        ys = F.filter(F.transform(flat, lambda v, i: F.when(i % 2 == 1, v)),
+                      lambda v: v.isNotNull())
+        sel = shapes.select("feature_id", "kind", "coords",
+                            F.array_min(xs).alias("_minlon"),
+                            F.array_max(xs).alias("_maxlon"),
+                            F.array_min(ys).alias("_minlat"),
+                            F.array_max(ys).alias("_maxlat"))
+    base_df = (sel
                .repartition(n_parts, "feature_id")   # ← HOF barrier + spread
                .withColumn("_zarr", F.array(*[F.lit(z).cast("int") for z in zooms]))
                .withColumn("_st", F.array(*conds)))
@@ -669,6 +682,13 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
         CLIP_FLAT_SCHEMA)
 
     from .clip_vec import slow_batch
+    # The (feature_id, _z) re-spread ships coords once per multi-tile zoom
+    # (~3.4× the barrier's bytes — 143 vs 42 MB). An r7 ABBA A/B of dropping
+    # it (inheriting the barrier's hash(feature_id) spread) measured −0.5 s
+    # on the isolated slow branch but parity within noise (17.7 vs 18.0 s)
+    # on the fused pipeline — kept for its per-(feature, zoom) granularity,
+    # which bounds the straggler a single covering-heavy feature can create
+    # at corpus scales where one polygon's zoom set is a whole task's work.
     slow = (base_df
             .select("feature_id", "kind", "coords",
                     F.explode(F.expr(
