@@ -130,6 +130,67 @@ def finalize_instances(qx: np.ndarray, qy: np.ndarray, L: np.ndarray,
     return qx3, qy3, S3, L3, inst_keep, flip
 
 
+def assemble_arrays(qx3, qy3, S3, L3, inst_keep, flip, inst_unit,
+                    unit_z, unit_x, unit_y, unit_fid, pack: bool = False):
+    """assemble_rows' array-native core (r7): one output row per unit with
+    >= 1 kept instance, as FLAT COLUMNS + LIST BUFFERS instead of Python
+    lists — ``(z, x, y, fid, geom_vals, geom_offsets, off_vals,
+    off_offsets, off_single)`` where row i's geom is
+    ``geom_vals[geom_offsets[i]:geom_offsets[i+1]]`` and its off list is
+    ``off_vals[off_offsets[i]:off_offsets[i+1]]`` (``off_single[i]`` marks
+    single-piece rows, the ones the packed transport nulls out). These are
+    EXACTLY Arrow ListArray (values, offsets) buffers, so the Arrow path
+    emits them with zero per-row Python (guide §4.2: a list column is one
+    data buffer plus an offsets array — compute the offsets, never split).
+    """
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.int64),
+             np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int32), np.zeros(1, np.int64),
+             np.zeros(0, np.int32), np.zeros(1, np.int64),
+             np.zeros(0, bool))
+    kept = np.nonzero(inst_keep)[0]
+    if kept.size == 0:
+        return empty
+    if pack:
+        vals_src = (qx3.astype(np.int32) << np.int32(16)) | qy3.astype(np.int32)
+        width = 1
+    else:
+        vals_src = np.empty((qx3.size, 2), dtype=np.int32)
+        vals_src[:, 0] = qx3
+        vals_src[:, 1] = qy3
+        width = 2
+    Lk = L3[kept].astype(np.int64)
+    fk = flip[kept]
+    start = np.where(fk, S3[kept] + Lk - 1, S3[kept])
+    step = np.where(fk, np.int64(-1), np.int64(1))
+    vidx = np.repeat(start, Lk) + _ragged_arange(Lk) * np.repeat(step, Lk)
+    geom_vals = vals_src[vidx].ravel()
+    units = inst_unit[kept]
+    ub = np.nonzero(np.diff(units))[0] + 1
+    u_starts = np.concatenate([[0], ub]).astype(np.int64)
+    u_end = np.concatenate([ub, [kept.size]]).astype(np.int64)
+    u_ids = units[u_starts]
+    ints_per_inst = Lk * width
+    csum = np.cumsum(ints_per_inst)
+    row_ints = np.add.reduceat(ints_per_inst, u_starts)
+    geom_offsets = np.concatenate([[0], np.cumsum(row_ints)])
+    pre = np.concatenate([[0], csum[:-1]])
+    rel = (csum - np.repeat(pre[u_starts], u_end - u_starts)).astype(np.int32)
+    insts_per_row = u_end - u_starts
+    off_single = insts_per_row == 1
+    off_len = insts_per_row + 1          # leading 0 + one end per piece
+    off_offsets = np.concatenate([[0], np.cumsum(off_len)])
+    off_vals = np.zeros(int(off_len.sum()), np.int32)
+    tpos = (np.repeat(off_offsets[:-1] + 1, insts_per_row)
+            + _ragged_arange(insts_per_row))
+    off_vals[tpos] = rel
+    return (np.asarray(unit_z)[u_ids].astype(np.int32),
+            np.asarray(unit_x)[u_ids].astype(np.int64),
+            np.asarray(unit_y)[u_ids].astype(np.int64),
+            np.asarray(unit_fid)[u_ids].astype(np.int64),
+            geom_vals, geom_offsets, off_vals, off_offsets, off_single)
+
+
 def assemble_rows(rows: dict[str, list], qx3, qy3, S3, L3, inst_keep, flip,
                   inst_unit, unit_z, unit_x, unit_y, unit_fid,
                   pack: bool = False) -> None:
@@ -416,6 +477,28 @@ def _covering_mask(n_rows, n_unit, unit_row, unit_base, ux, uy, west, south,
     return covered
 
 
+def _row_weights_arrays(zs: np.ndarray, nv: np.ndarray, r0_start: np.ndarray,
+                        r0_len: np.ndarray,
+                        verts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """_row_weights core over flat structures: ring-0 slices (vertex start +
+    length into the global ``verts``) and per-row total vertex counts."""
+    idx = _gather(r0_start, r0_len)
+    lon = np.nan_to_num(verts[idx, 0], nan=0.0, posinf=180.0, neginf=-180.0)
+    lat = np.clip(np.nan_to_num(verts[idx, 1], nan=0.0, posinf=K.MAX_LAT,
+                                neginf=-K.MAX_LAT), -K.MAX_LAT, K.MAX_LAT)
+    n_v = np.repeat(np.power(2.0, zs.astype(np.float64)), r0_len)
+    xt = np.clip(np.floor((lon + 180.0) / 360.0 * n_v), 0, n_v - 1)
+    lat_r = np.radians(lat)
+    yt = np.clip(np.floor(
+        (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n_v),
+        0, n_v - 1)
+    S = np.cumsum(r0_len) - r0_len
+    grid = ((np.maximum.reduceat(xt, S) - np.minimum.reduceat(xt, S) + 1.0)
+            * (np.maximum.reduceat(yt, S) - np.minimum.reduceat(yt, S) + 1.0)
+            ).astype(np.int64)
+    return np.maximum(grid * nv, 1), grid
+
+
 def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Cheap per-row cost estimate for chunking: candidate-grid tile count x
     total ring vertices (the instance-array footprint the clip passes
@@ -423,7 +506,7 @@ def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     the exact covering (which is what the clip itself computes). Returns
     (weight, grid_cells) so slow_batch can route bbox-sparse rows (grid over
     TILEGEN_GRID_CAP) to the sparse core."""
-    # r7: vectorized over the whole batch — the per-row loop (scalar
+    # vectorized over the whole batch — the per-row loop (scalar
     # nan_to_num + a point_to_tile call per row) cost ~165 µs/row, more
     # than the chunking it guards saves (cProfile: ~4 of the slow stage's
     # 6.4 s wall went to this estimator). One concatenated ring-0 vertex
@@ -436,20 +519,8 @@ def _row_weights(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     r0 = [np.asarray(cs[0], np.float64) for cs in coords_list]
     L = np.fromiter((a.size // 2 for a in r0), np.int64, n)
     allv = np.concatenate(r0).reshape(-1, 2)
-    lon = np.nan_to_num(allv[:, 0], nan=0.0, posinf=180.0, neginf=-180.0)
-    lat = np.clip(np.nan_to_num(allv[:, 1], nan=0.0, posinf=K.MAX_LAT,
-                                neginf=-K.MAX_LAT), -K.MAX_LAT, K.MAX_LAT)
-    n_v = np.repeat(np.power(2.0, zs.astype(np.float64)), L)
-    xt = np.clip(np.floor((lon + 180.0) / 360.0 * n_v), 0, n_v - 1)
-    lat_r = np.radians(lat)
-    yt = np.clip(np.floor(
-        (1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n_v),
-        0, n_v - 1)
     S = np.cumsum(L) - L
-    grid = ((np.maximum.reduceat(xt, S) - np.minimum.reduceat(xt, S) + 1.0)
-            * (np.maximum.reduceat(yt, S) - np.minimum.reduceat(yt, S) + 1.0)
-            ).astype(np.int64)
-    return np.maximum(grid * nv, 1), grid
+    return _row_weights_arrays(zs, nv, S, L, allv)
 
 
 def slow_batch(b: pd.DataFrame, extent: int,
@@ -509,44 +580,57 @@ def slow_batch(b: pd.DataFrame, extent: int,
     return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
 
 
+def _sparse_one_row_parts(is_line1: np.ndarray, z: int, fid: int,
+                          ring_len: np.ndarray, ring_start: np.ndarray,
+                          verts: np.ndarray, extent: int, cap: int,
+                          pack: bool, gcap: int | None) -> list[tuple]:
+    """One bbox-sparse row (KEPT/stripped ring slices into the global
+    ``verts``): exact covering via the O(covered) scalar kernels, then the
+    same batched clip over exactly those (tile, row) units — per-row work
+    and memory are O(covered x vertices), never O(bbox area). Covering is
+    precomputed, so the unit mask is all-true; tile chunks are sized so
+    chunk_tiles x ring_vertices stays under ``cap``."""
+    parts: list[tuple] = []
+    r0 = ring_start[0]
+    ring0 = verts[r0:r0 + ring_len[0]].ravel()
+    if is_line1[0]:
+        tiles = K.line_covering_tiles(ring0, z, cap=gcap)
+    else:
+        tiles = K.polygon_covering_tiles(ring0, z, cap=gcap)
+    if tiles.shape[0] == 0:
+        return parts
+    nv = max(int(ring_len.sum()), 1)
+    step = max(int(cap // nv), 1)
+    rrc = np.array([ring_len.size], np.int64)
+    rfr = np.array([0, ring_len.size], np.int64)
+    for s in range(0, tiles.shape[0], step):
+        t = tiles[s:s + step]
+        ku = t.shape[0]
+        ux = t[:, 0].astype(np.int64)
+        uy = t[:, 1].astype(np.int64)
+        west, south, east, north = K._tile_bounds_for(z, ux, uy)
+        parts.extend(_clip_units_parts(
+            is_line1, rrc, rfr, ring_len, ring_start, verts,
+            np.zeros(ku, np.int64), np.full(ku, z, np.int64), ux, uy,
+            np.full(ku, fid, np.int64), west, south, east, north,
+            np.ones(ku, bool), extent, pack))
+    return parts
+
+
 def _sparse_core(b: pd.DataFrame, extent: int, cap: int,
                  pack: bool = False, gcap: int | None = None) -> pd.DataFrame:
-    """Bbox-sparse rows: exact covering via the O(covered) scalar kernels,
-    then the same batched clip over exactly those (tile, feature) units —
-    per-row work and memory are O(covered x vertices), never O(bbox area).
-    Covering is precomputed, so the unit mask is all-true; tile chunks are
-    sized so chunk_tiles x ring_vertices stays under ``cap``."""
-    parts: list[pd.DataFrame] = []
+    """Pandas front-end of _sparse_one_row_parts (tests / slow_batch)."""
+    parts: list[tuple] = []
     for i in range(len(b)):
         row = b.iloc[i:i + 1]
         is_line_row = row["kind"].to_numpy() == "line"
         z = int(row["_z"].iloc[0])
-        (ring_len, verts, ring_start, row_ring_count,
-         row_first_ring) = _flatten_rings(row, is_line_row)
-        r0 = ring_start[0]
-        ring0 = verts[r0:r0 + ring_len[0]].ravel()
-        if is_line_row[0]:
-            tiles = K.line_covering_tiles(ring0, z, cap=gcap)
-        else:
-            tiles = K.polygon_covering_tiles(ring0, z, cap=gcap)
-        if tiles.shape[0] == 0:
-            continue
-        nv = max(int(ring_len.sum()), 1)
-        step = max(int(cap // nv), 1)
-        fid = row["feature_id"].iloc[0]
-        for s in range(0, tiles.shape[0], step):
-            t = tiles[s:s + step]
-            ku = t.shape[0]
-            ux = t[:, 0].astype(np.int64)
-            uy = t[:, 1].astype(np.int64)
-            west, south, east, north = K._tile_bounds_for(z, ux, uy)
-            parts.append(_clip_units(
-                is_line_row, row_ring_count, row_first_ring, ring_len,
-                ring_start, verts, np.zeros(ku, np.int64),
-                np.full(ku, z, np.int64), ux, uy, np.full(ku, fid, np.int64),
-                west, south, east, north, np.ones(ku, bool), extent, pack))
-    parts = [p for p in parts if len(p)]
-    return pd.concat(parts, ignore_index=True) if parts else _empty_frame()
+        (ring_len, verts, ring_start, _rrc, _rfr) = _flatten_rings(
+            row, is_line_row)
+        parts.extend(_sparse_one_row_parts(
+            is_line_row, z, int(row["feature_id"].iloc[0]), ring_len,
+            ring_start, verts, extent, cap, pack, gcap))
+    return _parts_to_pandas(parts, pack)
 
 
 def _flatten_rings(b: pd.DataFrame, is_line_row: np.ndarray):
@@ -578,10 +662,7 @@ def _flatten_rings(b: pd.DataFrame, is_line_row: np.ndarray):
 
 
 def _slow_core(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFrame:
-    """Mirrors the reference per-row loop (TILEGEN_FASTPATH=0 in
-    tiles.clip_shapes_direct) output-for-output (modulo the r4 flat geom/off
-    transport); see module docstring.
-    """
+    """Pandas front-end of _slow_core_parts (tests / slow_batch)."""
     n_rows = len(b)
     if n_rows == 0:
         return _empty_frame()
@@ -589,9 +670,23 @@ def _slow_core(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFrame
     zs = b["_z"].to_numpy(np.int64)
     fids = b["feature_id"].to_numpy()
     is_line_row = kinds == "line"
-
     (ring_len, verts, ring_start, row_ring_count,
      row_first_ring) = _flatten_rings(b, is_line_row)
+    return _parts_to_pandas(
+        _slow_core_parts(is_line_row, zs, fids, ring_len, verts, ring_start,
+                         row_ring_count, row_first_ring, extent, pack), pack)
+
+
+def _slow_core_parts(is_line_row, zs, fids, ring_len, verts, ring_start,
+                     row_ring_count, row_first_ring, extent: int,
+                     pack: bool = False) -> list[tuple]:
+    """Mirrors the reference per-row loop (TILEGEN_FASTPATH=0 in
+    tiles.clip_shapes_direct) output-for-output (modulo the r4 flat geom/off
+    transport) over pre-flattened ring structures; see module docstring.
+    """
+    n_rows = is_line_row.size
+    if n_rows == 0:
+        return []
 
     # --- candidate grid per row: ring-0 vertex-tile bbox (the covering
     # kernel's candidate grid) ----------------------------------------------
@@ -636,22 +731,24 @@ def _slow_core(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFrame
     cov = _covering_mask(n_rows, n_unit, unit_row, unit_base, ux, uy,
                          west, south, east, north, verts, ring_start[r0], L0,
                          xt, yt, x0, y0, gx, is_line_row)
-    return _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
-                       ring_start, verts, unit_row, unit_z, ux, uy,
-                       fids[unit_row], west, south, east, north, cov, extent,
-                       pack)
+    return _clip_units_parts(
+        is_line_row, row_ring_count, row_first_ring, ring_len, ring_start,
+        verts, unit_row, unit_z, ux, uy, fids[unit_row], west, south, east,
+        north, cov, extent, pack)
 
 
-def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
-                ring_start, verts, unit_row, unit_z, ux, uy, unit_fid,
-                west, south, east, north, cov, extent,
-                pack: bool = False) -> pd.DataFrame:
+def _clip_units_parts(is_line_row, row_ring_count, row_first_ring, ring_len,
+                      ring_start, verts, unit_row, unit_z, ux, uy, unit_fid,
+                      west, south, east, north, cov, extent,
+                      pack: bool = False) -> list[tuple]:
     """Clip + quantize + finalize + assemble over an explicit unit set (one
-    unit = one (tile, row) pair). Shared by _slow_core (dense grid units,
-    covering-masked) and _sparse_core (exact covering units, cov all-true)."""
+    unit = one (tile, row) pair), returning assemble_arrays part tuples
+    (polygons part, then lines part). Shared by _slow_core (dense grid
+    units, covering-masked) and _sparse_core (exact covering units, cov
+    all-true)."""
     n_unit = unit_row.size
     r0 = row_first_ring[:-1]
-    rows: dict[str, list] = {k: [] for k in CLIP_COLUMNS}
+    parts: list[tuple] = []
 
     # --- polygons -----------------------------------------------------------
     pu = np.nonzero(~is_line_row[unit_row] & cov)[0]
@@ -671,7 +768,8 @@ def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
         fin = finalize_instances(qx, qy, Lc, p_inst_unit,
                                  np.ones(Lc.size, dtype=bool), ring_ord,
                                  n_unit)
-        assemble_rows(rows, *fin, p_inst_unit, unit_z, ux, uy, unit_fid, pack)
+        parts.append(assemble_arrays(*fin, p_inst_unit, unit_z, ux, uy,
+                                     unit_fid, pack))
 
     # --- lines --------------------------------------------------------------
     lu = np.nonzero(is_line_row[unit_row] & cov)[0]
@@ -696,15 +794,188 @@ def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
             fin = finalize_instances(qx, qy, pieceL, piece_unit,
                                      np.zeros(pieceL.size, dtype=bool),
                                      np.zeros(pieceL.size, np.int64), n_unit)
-            assemble_rows(rows, *fin, piece_unit, unit_z, ux, uy, unit_fid, pack)
+            parts.append(assemble_arrays(*fin, piece_unit, unit_z, ux, uy,
+                                         unit_fid, pack))
+    return parts
 
-    offs = ([None if len(o) == 2 else o for o in rows["off"]]
-            if pack else rows["off"])
+
+def _parts_to_pandas(parts: list[tuple], pack: bool) -> pd.DataFrame:
+    """assemble_arrays part tuples → the historical pandas output (geom/off
+    as Python lists, packed single-piece off as None)."""
+    rows: dict[str, list] = {k: [] for k in CLIP_COLUMNS}
+    for (z, x, y, fid, gvals, goff, ovals, ooff, osingle) in parts:
+        if z.size == 0:
+            continue
+        rows["z"].extend(z.tolist())
+        rows["x"].extend(x.tolist())
+        rows["y"].extend(y.tolist())
+        rows["feature_id"].extend(fid.tolist())
+        rows["geom"].extend(a.tolist() for a in np.split(gvals, goff[1:-1]))
+        offs = [a.tolist() for a in np.split(ovals, ooff[1:-1])]
+        if pack:
+            offs = [None if s else o for o, s in zip(offs, osingle)]
+        rows["off"].extend(offs)
     return pd.DataFrame({
         "z": pd.Series(rows["z"], dtype="int32"),
         "x": pd.Series(rows["x"], dtype="int64"),
         "y": pd.Series(rows["y"], dtype="int64"),
         "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
         "geom": pd.Series(rows["geom"], dtype=object),
-        "off": pd.Series(offs, dtype=object),
+        "off": pd.Series(rows["off"], dtype=object),
     })
+
+
+def parts_to_batches(parts: list[tuple], pack: bool):
+    """assemble_arrays part tuples → pyarrow RecordBatches (CLIP_FLAT_SCHEMA):
+    the list columns are built straight from (values, offsets) buffers —
+    zero per-row Python (guide §4.2). Packed single-piece rows get a NULL
+    off via the ListArray validity mask."""
+    import pyarrow as pa
+    out = []
+    for (z, x, y, fid, gvals, goff, ovals, ooff, osingle) in parts:
+        if z.size == 0:
+            continue
+        geom = pa.ListArray.from_arrays(
+            pa.array(goff.astype(np.int32)), pa.array(gvals, pa.int32()))
+        mask = pa.array(osingle) if pack and osingle.any() else None
+        off = pa.ListArray.from_arrays(
+            pa.array(ooff.astype(np.int32)), pa.array(ovals, pa.int32()),
+            mask=mask)
+        out.append(pa.RecordBatch.from_arrays(
+            [pa.array(z, pa.int32()), pa.array(x, pa.int64()),
+             pa.array(y, pa.int64()), pa.array(fid, pa.int64()), geom, off],
+            names=["z", "x", "y", "feature_id", "geom", "off"]))
+    return out
+
+
+def _clip_units(is_line_row, row_ring_count, row_first_ring, ring_len,
+                ring_start, verts, unit_row, unit_z, ux, uy, unit_fid,
+                west, south, east, north, cov, extent,
+                pack: bool = False) -> pd.DataFrame:
+    """Pandas front-end of _clip_units_parts (tests / non-Arrow callers)."""
+    return _parts_to_pandas(
+        _clip_units_parts(is_line_row, row_ring_count, row_first_ring,
+                          ring_len, ring_start, verts, unit_row, unit_z, ux,
+                          uy, unit_fid, west, south, east, north, cov,
+                          extent, pack), pack)
+
+
+# ---------------------------------------------------------------------------
+# r7 Arrow-native entry (guide §4.2): mapInArrow front-end — ring structures
+# decoded straight from the ListArray offset/value buffers (no per-row
+# Python lists on input) and output RecordBatches built from the
+# assemble_arrays buffers (no np.split/tolist per row on output). The pandas
+# front-ends above remain the reference/test surface; parity is pinned by
+# the fastpath-vs-reference pytest and a direct arrow-vs-pandas test.
+# ---------------------------------------------------------------------------
+
+def decode_clip_rings(rb, strip: bool = True):
+    """RecordBatch with (kind, coords) → flat ring structures, straight from
+    the ListArray offset/value buffers. ``strip=True`` matches
+    _flatten_rings exactly (lines: ring 0 only; polys: strip the exact
+    closing vertex — representable as ring_len−1 with the same start, so no
+    bytes are copied); ``strip=False`` matches _fast_batch's flatten (all
+    rings, untouched). Returns (is_line, ring_len, ring_start, verts,
+    row_ring_count, row_first_ring, raw) where ``raw`` =
+    (nv_raw, r0_start, r0_len) feeds _row_weights_arrays (which uses the
+    UNSTRIPPED ring 0 and all-raw-ring vertex counts, like _row_weights)."""
+    import pyarrow.compute as pc
+    cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+    is_line = np.asarray(pc.equal(cols["kind"], "line"))
+    coords = cols["coords"]
+    rc_raw = np.asarray(pc.list_value_length(coords)).astype(np.int64)
+    rings = pc.list_flatten(coords)
+    rl_d = np.asarray(pc.list_value_length(rings)).astype(np.int64)
+    vals = np.asarray(pc.list_flatten(rings)).astype(np.float64)
+    verts = vals.reshape(-1, 2)
+    cum_d = np.concatenate([[0], np.cumsum(rl_d)])
+    ring_start_all = (cum_d[:-1] // 2).astype(np.int64)
+    V_all = rl_d // 2
+    raw_first = np.concatenate([[0], np.cumsum(rc_raw)])[:-1].astype(np.int64)
+
+    # raw per-row stats for the chunking estimator
+    nv_raw = (cum_d[raw_first + rc_raw] - cum_d[raw_first]) // 2
+    r0_start = ring_start_all[raw_first]
+    r0_len = V_all[raw_first]
+
+    if not strip:
+        row_first_ring = np.concatenate(
+            [[0], np.cumsum(rc_raw)]).astype(np.int64)
+        return (is_line, V_all, ring_start_all, verts, rc_raw,
+                row_first_ring,
+                (np.maximum(nv_raw, 0), r0_start, np.maximum(r0_len, 0)))
+
+    # kept rings: lines keep ring 0 only, polys keep all
+    row_ring_count = np.where(is_line, np.minimum(rc_raw, 1), rc_raw)
+    kept = _gather(raw_first, row_ring_count)
+    s = ring_start_all[kept]
+    V = V_all[kept]
+    ring_is_poly = np.repeat(~is_line, row_ring_count)
+    if verts.shape[0]:
+        e = np.clip(s + V - 1, 0, verts.shape[0] - 1)
+        s_safe = np.minimum(s, verts.shape[0] - 1)
+        strip = (ring_is_poly & (V >= 2)
+                 & (verts[s_safe, 0] == verts[e, 0])
+                 & (verts[s_safe, 1] == verts[e, 1]))
+    else:
+        strip = np.zeros(kept.size, dtype=bool)
+    ring_len = V - strip
+    row_first_ring = np.concatenate([[0], np.cumsum(row_ring_count)]).astype(np.int64)
+    return (is_line, ring_len, s.astype(np.int64), verts,
+            row_ring_count.astype(np.int64), row_first_ring,
+            (np.maximum(nv_raw, 0), r0_start, np.maximum(r0_len, 0)))
+
+
+def slow_batch_arrow(rb, extent: int, cap: int | None = None,
+                     pack: bool = False, gcap: int | None = None):
+    """Arrow twin of slow_batch: one input RecordBatch of multi-tile
+    (feature, _z) rows → list of output RecordBatches (CLIP_FLAT_SCHEMA).
+    Same greedy contiguous chunking and sparse routing, same part order,
+    zero per-row Python end to end."""
+    import os
+    n_rows = rb.num_rows
+    if n_rows == 0:
+        return []
+    if cap is None:
+        cap = int(os.environ.get("TILEGEN_SLOW_CAP", "8000000"))
+    if gcap is None:
+        gcap = K.grid_cap()
+    (is_line, ring_len, ring_start, verts, row_ring_count, row_first_ring,
+     (nv_raw, r0_start, r0_len)) = decode_clip_rings(rb)
+    zs = np.asarray(rb.column(rb.schema.names.index("_z"))).astype(np.int64)
+    fids = np.asarray(rb.column(rb.schema.names.index("feature_id"))).astype(np.int64)
+    w, g = _row_weights_arrays(zs, nv_raw, r0_start, r0_len, verts)
+
+    parts: list[tuple] = []
+
+    def run_range(a: int, b_: int) -> None:
+        if b_ <= a:
+            return
+        rs, re = int(row_first_ring[a]), int(row_first_ring[b_])
+        parts.extend(_slow_core_parts(
+            is_line[a:b_], zs[a:b_], fids[a:b_], ring_len[rs:re], verts,
+            ring_start[rs:re], row_ring_count[a:b_],
+            row_first_ring[a:b_ + 1] - rs, extent, pack))
+
+    if int(w.sum()) <= cap and int(g.max()) <= gcap:
+        run_range(0, n_rows)
+        return parts_to_batches(parts, pack)
+    start = 0
+    acc = 0
+    for i in range(n_rows):
+        if g[i] > gcap:
+            run_range(start, i)
+            rs, re = int(row_first_ring[i]), int(row_first_ring[i + 1])
+            parts.extend(_sparse_one_row_parts(
+                is_line[i:i + 1], int(zs[i]), int(fids[i]), ring_len[rs:re],
+                ring_start[rs:re], verts, extent, cap, pack, gcap))
+            start = i + 1
+            acc = 0
+            continue
+        if acc and acc + w[i] > cap:
+            run_range(start, i)
+            start = i
+            acc = 0
+        acc += int(w[i])
+    run_range(start, n_rows)
+    return parts_to_batches(parts, pack)

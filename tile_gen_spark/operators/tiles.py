@@ -329,6 +329,7 @@ def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFram
     Output is the r4 FLAT transport (CLIP_FLAT_SCHEMA): one concatenated int
     array + ring prefix offsets, no kind/props (those rejoin post-agg).
     """
+    from .clip_vec import _parts_to_pandas
     n_feat = len(b)
     empty = pd.DataFrame({
         "z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int64"),
@@ -352,16 +353,33 @@ def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFram
     ring_len = np.asarray(ring_len_l, np.int64)
     verts = np.concatenate(ring_list).reshape(-1, 2) if ring_list else np.zeros((0, 2))
     ring_start = np.cumsum(ring_len) - ring_len
-    feat_first_ring = np.concatenate([[0], np.cumsum(feat_ring_count)])
 
-    # --- units (feature × zoom) and instances (unit × ring) ---------------
+    # --- units (feature × zoom) ---------------------------------------------
     zs_list = [np.asarray(z, np.int64) for z in b["_zs"]]
     m = np.asarray([z.size for z in zs_list], np.int64)
     unit_feat = np.repeat(np.arange(n_feat), m)
-    n_unit = unit_feat.size
-    if n_unit == 0:
+    if unit_feat.size == 0:
         return empty
     unit_z = np.concatenate(zs_list)
+    parts = _fast_core(
+        b["kind"].to_numpy() == "line", b["feature_id"].to_numpy(),
+        feat_ring_count, ring_len, ring_start, verts, unit_feat, unit_z,
+        extent, pack)
+    out = _parts_to_pandas(parts, pack)
+    return out if len(out) else empty
+
+
+def _fast_core(is_line: np.ndarray, fids: np.ndarray,
+               feat_ring_count: np.ndarray, ring_len: np.ndarray,
+               ring_start: np.ndarray, verts: np.ndarray,
+               unit_feat: np.ndarray, unit_z: np.ndarray, extent: int,
+               pack: bool) -> list:
+    """_fast_batch's array core (r7): flattened ring structures in,
+    assemble_arrays part tuples out — shared by the pandas front-end above
+    and the Arrow front-end (_fast_batch_arrow)."""
+    from .clip_vec import assemble_arrays
+    n_unit = unit_feat.size
+    feat_first_ring = np.concatenate([[0], np.cumsum(feat_ring_count)])
     inst_per_unit = feat_ring_count[unit_feat]
     inst_unit = np.repeat(np.arange(n_unit), inst_per_unit)
     tot_inst = inst_unit.size
@@ -409,8 +427,7 @@ def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFram
     S2 = np.cumsum(L2) - L2
 
     # --- closing-vertex strip (polygons only) ------------------------------
-    kinds = b["kind"].to_numpy()
-    inst_is_poly = kinds[unit_feat[inst_unit]] != "line"
+    inst_is_poly = ~is_line[unit_feat[inst_unit]]
     last2 = S2 + L2 - 1
     if qx2.size:
         hi = qx2.size - 1
@@ -446,27 +463,33 @@ def _fast_batch(b: pd.DataFrame, extent: int, pack: bool = False) -> pd.DataFram
     inst_keep = (poly_ok | line_ok) & ~unit_dead[inst_unit]
     flip = poly_ok & ((area2 > 0.0) != (ring_ord == 0))
 
-    # --- assemble output rows (flat geom + prefix offsets; packed mode:
-    # one (qx<<16|qy) int per vertex, off NULL when single-piece).
-    # r7: shared vectorized assembler (clip_vec.assemble_rows) replaces the
-    # per-instance Python loop — identical rows, one gather + split instead
-    # of slice/flip/tolist per instance.
-    from .clip_vec import assemble_rows
-    fids = b["feature_id"].to_numpy()
-    rows: dict[str, list] = {k: [] for k in (
-        "z", "x", "y", "feature_id", "geom", "off")}
-    assemble_rows(rows, qx3, qy3, S3, L3, inst_keep, flip, inst_unit,
-                  unit_z, tx, ty, fids[unit_feat], pack=pack)
-    offs = ([None if len(o) == 2 else o for o in rows["off"]]
-            if pack else rows["off"])
-    return pd.DataFrame({
-        "z": pd.Series(rows["z"], dtype="int32"),
-        "x": pd.Series(rows["x"], dtype="int64"),
-        "y": pd.Series(rows["y"], dtype="int64"),
-        "feature_id": pd.Series(rows["feature_id"], dtype="int64"),
-        "geom": pd.Series(rows["geom"], dtype=object),
-        "off": pd.Series(offs, dtype=object),
-    })
+    # --- assemble (flat geom + prefix offsets; packed mode: one (qx<<16|qy)
+    # int per vertex, off NULL when single-piece) — array buffers out
+    return [assemble_arrays(qx3, qy3, S3, L3, inst_keep, flip, inst_unit,
+                            unit_z, tx, ty, fids[unit_feat], pack=pack)]
+
+
+def _fast_batch_arrow(rb, extent: int, pack: bool = False):
+    """Arrow twin of _fast_batch (guide §4.2): ring structures straight from
+    the ListArray buffers (no per-row Python lists, no closing strip, lines
+    keep all rings — exactly the pandas flatten), output RecordBatches from
+    the assemble buffers."""
+    from .clip_vec import decode_clip_rings, parts_to_batches
+    if rb.num_rows == 0:
+        return []
+    import pyarrow.compute as pc
+    (is_line, ring_len, ring_start, verts, feat_ring_count, _ffr,
+     _raw) = decode_clip_rings(rb, strip=False)
+    fids = np.asarray(rb.column(rb.schema.names.index("feature_id"))).astype(np.int64)
+    zs_col = rb.column(rb.schema.names.index("_zs"))
+    m = np.asarray(pc.list_value_length(zs_col)).astype(np.int64)
+    unit_z = np.asarray(pc.list_flatten(zs_col)).astype(np.int64)
+    unit_feat = np.repeat(np.arange(rb.num_rows), m)
+    if unit_feat.size == 0:
+        return []
+    parts = _fast_core(is_line, fids, feat_ring_count, ring_len, ring_start,
+                       verts, unit_feat, unit_z, extent, pack)
+    return parts_to_batches(parts, pack)
 
 
 def _n_clip_parts(df: DataFrame) -> int:
@@ -677,9 +700,19 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
                     F.expr("filter(zip_with(_zarr, _st, (z, s) -> if(s, z, -1)), "
                            "v -> v >= 0)").alias("_zs"))
             .filter(F.size("_zs") > 0))
-    fast_out = fast.mapInPandas(
-        lambda batches: (_fast_batch(bt, extent, pack) for bt in batches),
-        CLIP_FLAT_SCHEMA)
+    # r7: Arrow-native crossing (guide §4.2) — ring buffers decoded and
+    # rebuilt as ListArray (values, offsets) pairs with zero per-row Python;
+    # TILEGEN_CLIP_ARROW=0 restores the pandas front-ends for A/B.
+    use_arrow = os.environ.get("TILEGEN_CLIP_ARROW", "1") == "1"
+    if use_arrow:
+        fast_out = fast.mapInArrow(
+            lambda batches: (out for rb in batches
+                             for out in _fast_batch_arrow(rb, extent, pack)),
+            CLIP_FLAT_SCHEMA)
+    else:
+        fast_out = fast.mapInPandas(
+            lambda batches: (_fast_batch(bt, extent, pack) for bt in batches),
+            CLIP_FLAT_SCHEMA)
 
     from .clip_vec import slow_batch
     # The (feature_id, _z) re-spread ships coords once per multi-tile zoom
@@ -696,10 +729,18 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
                         "v -> v >= 0)")).alias("_z"))
             .repartition(n_parts, "feature_id", "_z"))
     gcap = K.grid_cap()   # driver-resolved, shipped in the task closure
-    slow_out = slow.mapInPandas(
-        lambda batches: (slow_batch(bt, extent, pack=pack, gcap=gcap)
-                         for bt in batches),
-        CLIP_FLAT_SCHEMA)
+    if use_arrow:
+        from .clip_vec import slow_batch_arrow
+        slow_out = slow.mapInArrow(
+            lambda batches: (out for rb in batches
+                             for out in slow_batch_arrow(
+                                 rb, extent, pack=pack, gcap=gcap)),
+            CLIP_FLAT_SCHEMA)
+    else:
+        slow_out = slow.mapInPandas(
+            lambda batches: (slow_batch(bt, extent, pack=pack, gcap=gcap)
+                             for bt in batches),
+            CLIP_FLAT_SCHEMA)
     return fast_out.unionByName(slow_out)
 
 
