@@ -955,6 +955,13 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
         n_agg = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_agg = spark.sparkContext.defaultParallelism
+    # r7: overpartition the agg exchange like the clip (TILEGEN_AGG_OVERPART,
+    # default 4× shuffle.partitions — scale-proportional, AQE-exempt):
+    # smaller per-task collect state packs the waves evenly around the hot
+    # low-z mega-tiles and cuts GC pressure. In-session A/B at the bench
+    # shape: ×1 = 8.7 s, ×4 = 6.5 s, ×8 = 6.5 s for the agg phase (×2 = 11.7
+    # — a reproducible hash-collision pathology at 128, avoided).
+    n_agg *= int(os.environ.get("TILEGEN_AGG_OVERPART", "4"))
 
     keys = ["_txy"] if pack_key else ["z", "x", "y"]
     src = (clipped.select(F.expr(_TXY_PACK).alias("_txy"),
