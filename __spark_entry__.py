@@ -58,7 +58,7 @@ def _zone_vertices(d: str, n: int, nv: int = 6) -> str:
 
 
 def q_tile_assign_z8(d: str) -> str:
-    x, y = S.tile_x(S.pt_lon(), 8), S.tile_y(S.pt_lat(), 8)
+    x, y = S.tile_x(S.pt_lon(), 8, d), S.tile_y(S.pt_lat(), 8, d)
     return (f"SELECT {x} AS tx, {y} AS ty, CAST(count(*) AS BIGINT) AS n_points "
             f"FROM lineitem GROUP BY 1, 2")
 
@@ -81,18 +81,21 @@ def q_tile_assign_multizoom(d: str) -> str:
         # without the repartition was 2.7× SLOWER than the 13-branch union
         # (3.84 vs 1.39 s) — the union's duplicate scans were accidentally
         # supplying the parallelism. Oracle (DuckDB) text unchanged below.
+        # r7b: clamp in BIGINT (floor is BIGINT in Spark; the old 0.0/nm1
+        # bounds made the clamp DECIMAL/DOUBLE arithmetic) — identical values
+        # on integral floor results, same reasoning as sqlgen.tile_x(SPARK).
         la = S.clamped_lat(S.pt_lat())
         merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
         structs = ", ".join(
             f"named_struct('z', {z}, 'n', CAST({float(1 << z)} AS DOUBLE), "
-            f"'nm1', CAST({float((1 << z) - 1)} AS DOUBLE))"
+            f"'nm1', CAST({(1 << z) - 1} AS BIGINT))"
             for z in range(0, 13))
         return (
             "SELECT z, CAST(count(*) AS BIGINT) AS n_assignments, "
             "CAST(count(DISTINCT (tx * 8192 + ty)) AS BIGINT) AS n_tiles "
             "FROM (SELECT zt.z AS z, "
-            "CAST(least(greatest(floor(fx * zt.n), 0.0), zt.nm1) AS BIGINT) AS tx, "
-            "CAST(least(greatest(floor(fy * zt.n), 0.0), zt.nm1) AS BIGINT) AS ty "
+            "least(greatest(floor(fx * zt.n), CAST(0 AS BIGINT)), zt.nm1) AS tx, "
+            "least(greatest(floor(fy * zt.n), CAST(0 AS BIGINT)), zt.nm1) AS ty "
             f"FROM (SELECT /*+ REPARTITION */ (({S.pt_lon()}) + 180.0) / 360.0 AS fx, "
             f"(1.0 - {merc} / pi()) / 2.0 AS fy FROM lineitem) f "
             f"LATERAL VIEW explode(array({structs})) t AS zt) a GROUP BY z")
@@ -107,7 +110,7 @@ def q_tile_assign_multizoom(d: str) -> str:
 
 
 def q_quadkey_buckets(d: str) -> str:
-    x, y = S.tile_x(S.pt_lon(), 6), S.tile_y(S.pt_lat(), 6)
+    x, y = S.tile_x(S.pt_lon(), 6, d), S.tile_y(S.pt_lat(), 6, d)
     qk = S.quadkey(x, y, 6, d)
     return (f"SELECT {qk} AS qk, CAST(count(*) AS BIGINT) AS n_points "
             f"FROM lineitem GROUP BY 1 HAVING count(*) >= 3")
@@ -117,7 +120,7 @@ def q_tile_bounds(d: str) -> str:
     # Integer micro-degrees (CAST(round(deg*1e6) AS BIGINT)): the round-1
     # driver hash flagged bitwise-identical doubles, so the oracle surface is
     # integer-only — integers hash identically in every engine.
-    x, y = S.tile_x(S.pt_lon(), 5), S.tile_y(S.pt_lat(), 5)
+    x, y = S.tile_x(S.pt_lon(), 5, d), S.tile_y(S.pt_lat(), 5, d)
     b = S.tile_bounds_cols(5, "tx", "ty")
     cols = ", ".join(
         f"CAST(round({b[k]} * 1000000.0) AS BIGINT) AS {k}_u"
@@ -366,7 +369,7 @@ GROUP BY r.r_name, n.n_name
 
 def q_quadkey_prefix_rollup(d: str) -> str:
     """G4 hierarchy: z8 quadkeys rolled up to their z4 prefix (parent tile)."""
-    x, y = S.tile_x(S.pt_lon(), 8), S.tile_y(S.pt_lat(), 8)
+    x, y = S.tile_x(S.pt_lon(), 8, d), S.tile_y(S.pt_lat(), 8, d)
     qk = S.quadkey(x, y, 8, d)
     return (f"SELECT substring(qk, 1, 4) AS qk4, CAST(count(*) AS BIGINT) AS n_points, "
             f"CAST(count(DISTINCT qk) AS BIGINT) AS n_child_buckets "
@@ -383,7 +386,7 @@ def q_extract_text_oracle(d: str) -> str:
 
 
 def q_tile_rollup(d: str) -> str:
-    x, y = S.tile_x(S.pt_lon(), 4), S.tile_y(S.pt_lat(), 4)
+    x, y = S.tile_x(S.pt_lon(), 4, d), S.tile_y(S.pt_lat(), 4, d)
     gs = "GROUPING SETS ((tx, ty), (tx), ())"
     return (
         f"SELECT tx, ty, CAST(count(*) AS BIGINT) AS n_points "

@@ -67,8 +67,8 @@ def zoom_filter(df: DataFrame, min_z: int, max_z: int,
 def points_with_quadkey(points: DataFrame, res: int,
                         lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Relational quadkey at resolution ``res`` (G2 + G4, pure Spark SQL)."""
-    x = S.tile_x(lon_col, res)
-    y = S.tile_y(lat_col, res)
+    x = S.tile_x(lon_col, res, S.SPARK)
+    y = S.tile_y(lat_col, res, S.SPARK)
     return points.withColumn("qk", F.expr(S.quadkey(x, y, res, S.SPARK)))
 
 
@@ -79,9 +79,17 @@ def points_with_bucket(points: DataFrame, res: int,
     concat — the round-1 string build was a measured fixed cost on the point
     side (VERDICT r1 perf note). String quadkeys (points_with_quadkey) remain
     for the prefix-rollup queries where the prefix property matters."""
-    x = S.tile_x(lon_col, res)
-    y = S.tile_y(lat_col, res)
-    return points.withColumn("qb", F.expr(f"({x}) * {1 << res} + ({y})"))
+    x = S.tile_x(lon_col, res, S.SPARK)
+    y = S.tile_y(lat_col, res, S.SPARK)
+    # r7b: coalesce makes qb provably non-nullable, so the IsNotNull(qb)
+    # constraint the bucket equi-join infers FOLDS AWAY instead of being
+    # pushed to the scan as a filter that re-evaluates the whole qb
+    # expression — LCG + mercator trig + both clamps — once more per point
+    # (the pip before-plan's Filter(2) node). Value-identical: qb is null
+    # only when lon/lat is null, and such rows could never match (zone qbs
+    # are ≥ 0, the -1 sentinel joins nothing) nor pass the bbox refine.
+    return points.withColumn(
+        "qb", F.expr(f"coalesce(({x}) * {1 << res} + ({y}), -1)"))
 
 
 def zones_covering_quadkeys(zones: DataFrame, res: int) -> DataFrame:

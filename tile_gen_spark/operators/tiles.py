@@ -159,8 +159,8 @@ def assign_points(points: DataFrame, zooms: list[int]) -> DataFrame:
     # no cross-branch CSE), which re-ran the Arrow parse stage once per zoom
     entries = [F.struct(
         F.lit(z).cast("int").alias("z"),
-        F.expr(S.tile_x("lon", z)).alias("x"),
-        F.expr(S.tile_y("lat", z)).alias("y")) for z in zooms]
+        F.expr(S.tile_x("lon", z, S.SPARK)).alias("x"),
+        F.expr(S.tile_y("lat", z, S.SPARK)).alias("y")) for z in zooms]
     return (pts.select("feature_id", F.explode(F.array(*entries)).alias("t"))
             .select("feature_id", "t.z", "t.x", "t.y"))
 
@@ -300,12 +300,12 @@ def clip_points_relational(points: DataFrame, zooms: list[int],
     # one explode, one scan (see assign_points: unions re-execute the subtree)
     entries = []
     for z in zooms:
-        qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z), extent)
-        qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z), extent)
+        qx = S.quantize_x("lon", f"{z}.0", S.tile_x("lon", z, S.SPARK), extent)
+        qy = S.quantize_y("lat", f"{z}.0", S.tile_y("lat", z, S.SPARK), extent)
         entries.append(F.struct(
             F.lit(z).cast("int").alias("z"),
-            F.expr(S.tile_x("lon", z)).alias("x"),
-            F.expr(S.tile_y("lat", z)).alias("y"),
+            F.expr(S.tile_x("lon", z, S.SPARK)).alias("x"),
+            F.expr(S.tile_y("lat", z, S.SPARK)).alias("y"),
             F.expr(qx).alias("qx"),
             F.expr(qy).alias("qy")))
     return (pts.select("feature_id", "kind", "props",
@@ -654,8 +654,8 @@ def clip_shapes_flat(shapes: DataFrame, zooms: list[int],
     # "head repartition measured slower" note referred to a repartition IN
     # ADDITION to per-branch exchanges, not this replacement of them.)
     conds = [F.expr(
-        f"({S.tile_x('_minlon', z)}) = ({S.tile_x('_maxlon', z)}) AND "
-        f"({S.tile_y('_maxlat', z)}) = ({S.tile_y('_minlat', z)})")
+        f"({S.tile_x('_minlon', z, S.SPARK)}) = ({S.tile_x('_maxlon', z, S.SPARK)}) AND "
+        f"({S.tile_y('_maxlat', z, S.SPARK)}) = ({S.tile_y('_minlat', z, S.SPARK)})")
         for z in zooms]
     bbox_cols = ("_minlon", "_maxlon", "_minlat", "_maxlat")
     if set(bbox_cols).issubset(shapes.columns):
@@ -775,13 +775,18 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
         F.expr(f"(1.0 - {merc} / pi()) / 2.0").alias("_fy"))
     entries = []
     for z in zooms:
+        # r7b: BIGINT clamp bounds (floor is BIGINT in Spark; the 0.0 /
+        # {n-1}.0 decimal literals ran the clamp in DECIMAL(21,1)) —
+        # identical values, see sqlgen.tile_x(SPARK).
         n = 1 << z
-        tx = f"CAST(least(greatest(floor(_fx * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
-        ty = f"CAST(least(greatest(floor(_fy * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
+        tx = (f"least(greatest(floor(_fx * {n}.0), CAST(0 AS BIGINT)), "
+              f"CAST({n - 1} AS BIGINT))")
+        ty = (f"least(greatest(floor(_fy * {n}.0), CAST(0 AS BIGINT)), "
+              f"CAST({n - 1} AS BIGINT))")
         qx = (f"CAST(least(greatest(floor((_fx * pow(2.0, {z}.0) - ({tx})) "
-              f"* {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+              f"* {extent}.0 + 0.5), CAST(0 AS BIGINT)), CAST({extent} AS BIGINT)) AS INT)")
         qy = (f"CAST(least(greatest(floor((_fy * pow(2.0, {z}.0) - ({ty})) "
-              f"* {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+              f"* {extent}.0 + 0.5), CAST(0 AS BIGINT)), CAST({extent} AS BIGINT)) AS INT)")
         entries.append(F.struct(
             F.lit(z).cast("int").alias("z"),
             F.expr(tx).alias("x"),

@@ -74,15 +74,31 @@ def clamped_lat(lat: str) -> str:
     return f"least(greatest({lat}, -{MAX_LAT}), {MAX_LAT})"
 
 
-def tile_x(lon: str, z: int) -> str:
+def tile_x(lon: str, z: int, d: str = DUCK) -> str:
+    """r7 (guide §1.2 per-task work): the shared text's clamp bounds ``0.0`` /
+    ``{n-1}.0`` are DECIMAL literals in Spark SQL, so the whole
+    least/greatest/cast chain ran in DECIMAL(21,1) — one BigDecimal
+    allocation per op per row on every tile-math path (the pip bench feeds
+    256M rows through two of these). The SPARK dialect now clamps the
+    ``floor`` result (already BIGINT in Spark) against BIGINT bounds —
+    bit-identical output for every input (the clamp of an integral value is
+    the same in either type system; floor(NaN/±Inf) → 0/Long.MIN/MAX clamps
+    the same) — while the DUCK text (the frozen oracle surface, where
+    ``floor`` returns DOUBLE) is byte-identical to every previous round."""
     n = 1 << z
+    if d == SPARK:
+        return (f"CAST(least(greatest(floor((({lon}) + 180.0) / 360.0 * {n}.0), "
+                f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS BIGINT)")
     return (f"CAST(least(greatest(floor((({lon}) + 180.0) / 360.0 * {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
 
 
-def tile_y(lat: str, z: int) -> str:
+def tile_y(lat: str, z: int, d: str = DUCK) -> str:
     n = 1 << z
     la = clamped_lat(lat)
     merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
+    if d == SPARK:
+        return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}.0), "
+                f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT)) AS BIGINT)")
     return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
 
 
@@ -91,15 +107,20 @@ def tile_y(lat: str, z: int) -> str:
 # kernels.quantize_to_tile so relational and kernel paths agree.
 
 def quantize_x(lon: str, z: str, x: str, extent: int = 4096) -> str:
+    # Spark-only callers (operators/tiles.py) — BIGINT clamp bounds for the
+    # same reason as tile_x's SPARK dialect (decimal-literal clamp ran in
+    # BigDecimal); floor is BIGINT in Spark, so the chain stays integral.
     fx = f"((({lon}) + 180.0) / 360.0 * pow(2.0, {z}) - ({x}))"
-    return (f"CAST(least(greatest(floor({fx} * {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+    return (f"CAST(least(greatest(floor({fx} * {extent}.0 + 0.5), "
+            f"CAST(0 AS BIGINT)), CAST({extent} AS BIGINT)) AS INT)")
 
 
 def quantize_y(lat: str, z: str, y: str, extent: int = 4096) -> str:
     la = clamped_lat(lat)
     merc = f"ln(tan(radians({la})) + 1.0 / cos(radians({la})))"
     fy = f"((1.0 - {merc} / pi()) / 2.0 * pow(2.0, {z}) - ({y}))"
-    return (f"CAST(least(greatest(floor({fy} * {extent}.0 + 0.5), 0.0), {extent}.0) AS INT)")
+    return (f"CAST(least(greatest(floor({fy} * {extent}.0 + 0.5), "
+            f"CAST(0 AS BIGINT)), CAST({extent} AS BIGINT)) AS INT)")
 
 
 # --- G6: S2-lite quadtree (pre-Hilbert) cell coords, shared text -------------
