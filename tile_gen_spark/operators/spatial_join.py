@@ -195,15 +195,28 @@ def pip_refine_relational(candidates: DataFrame, zones: DataFrame,
     parity agg's partial aggregation bounds the reduce side."""
     x1, y1, x2, y2 = F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
     lon, lat = F.col("lon"), F.col("lat")
+    # r7b (guide §1.2 per-task work): dx/dy/seg2 and the on-edge tolerance
+    # are PER-EDGE constants — computed once per edge row on the dim side
+    # below instead of once per (candidate × edge) pair, which removes the
+    # sqrt/greatest and four mult/sub ops from the ~46-rows-per-candidate
+    # hot loop. Same float64 op ORDER everywhere a value is compared (the
+    # precomputed columns hold bit-identical values to the inline exprs they
+    # replace), so pair results are unchanged.
+    dx, dy = F.col("_dx"), F.col("_dy")
+    seg2, eps = F.col("_seg2"), F.col("_eps")
     crossing = (((y1 > lat) != (y2 > lat))
-                & (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1))
-    dx, dy = x2 - x1, y2 - y1
+                & (lon < dx * (lat - y1) / dy + x1))
     cross = (lon - x1) * dy - (lat - y1) * dx
     dot = (lon - x1) * dx + (lat - y1) * dy
-    seg2 = dx * dx + dy * dy
-    on_edge = ((F.abs(cross) <= 1e-12 * F.greatest(F.lit(1.0), F.sqrt(seg2)))
+    on_edge = ((F.abs(cross) <= eps)
                & (dot >= 0) & (dot <= seg2) & (seg2 > 0))
-    edges = zone_edges(zones)
+    _dx, _dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    edges = (zone_edges(zones)
+             .withColumn("_dx", _dx).withColumn("_dy", _dy)
+             .withColumn("_seg2", F.col("_dx") * F.col("_dx")
+                         + F.col("_dy") * F.col("_dy"))
+             .withColumn("_eps", F.lit(1e-12)
+                         * F.greatest(F.lit(1.0), F.sqrt(F.col("_seg2")))))
     j = candidates.join(F.broadcast(edges) if broadcast else edges, "zone_id")
     return (j.groupBy("point_id", "zone_id", "lon", "lat")
             .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("_nc"),
