@@ -112,3 +112,28 @@ def test_packed_tile_key_pack_roundtrip(spark):
                    F.expr(f"shiftright(_txy, 29) & {T._TXY_MASK}").alias("x"),
                    F.expr(f"_txy & {T._TXY_MASK}").alias("y")))
     assert sorted(map(tuple, out.collect())) == sorted(rows)
+
+
+def test_arrow_agg_tail_equals_jvm(spark, features, monkeypatch):
+    """r7 Arrow aggregation tail (TILEGEN_AGG_ARROW, default off — measured
+    slower fused, kept as a profiling/reference variant): unpack + nest +
+    per-tile collect + feature_id sort in one vectorized Arrow pass must be
+    bit-identical to the JVM finish() path."""
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            out[(r["z"], r["x"], r["y"])] = tuple(
+                (f["feature_id"], f["kind"],
+                 tuple(tuple(p) for p in f["geom"]),
+                 tuple(sorted((f["props"] or {}).items())))
+                for f in r["features"])
+        return out
+
+    monkeypatch.setenv("TILEGEN_GEOM_PACK", "1")   # the tail reads packed
+    monkeypatch.setenv("TILEGEN_AGG_ARROW", "0")
+    a = canon(T.build_tile_features(features, [3, 6], salt=2))
+    monkeypatch.setenv("TILEGEN_AGG_ARROW", "1")
+    b = canon(T.build_tile_features(features, [3, 6], salt=2))
+    assert len(a) > 20
+    assert a == b, "arrow agg tail diverged from the JVM tail"

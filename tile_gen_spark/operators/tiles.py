@@ -63,10 +63,24 @@ PACKED_NEST_GEOM_EXPR = (
 
 
 def geom_pack() -> bool:
-    """Transport mode (TILEGEN_GEOM_PACK, default 1): resolved at PLAN BUILD
-    time in the driver — producers capture it in their task closures and
-    consumers pick the matching decode, so one plan is always consistent."""
-    return os.environ.get("TILEGEN_GEOM_PACK", "1") == "1"
+    """Transport mode (TILEGEN_GEOM_PACK): resolved at PLAN BUILD time in
+    the driver — producers capture it in their task closures and consumers
+    pick the matching decode, so one plan is always consistent.
+
+    r7: default flipped to UNPACKED (0). The packed decode
+    (PACKED_NEST_GEOM_EXPR) pays an interpreted lambda + 2-int array alloc
+    PER VERTEX (~5/row), where the unpacked decode slices PER RING
+    (~1.04/row): measured on the bench agg (12.75M rows, local[32]) the
+    packed tail costs 7.8-8.3 s vs 5.4-5.6 s unpacked — a 2.3 s fused
+    pipeline win (16.75 → 14.5 s). The byte cost of unpacking is small
+    because fixed per-row columns dominate exchange bytes (r6 byte probe:
+    rows average 5 vertices; the whole r5 geom pack was worth −5%
+    compressed), and the r5/r6 scaling analysis attributes the agg ceiling
+    to memory bandwidth/CPU, not network — so trading ~5% exchange bytes
+    for ~30% less decode CPU is the right default at cluster scale too.
+    TILEGEN_GEOM_PACK=1 restores the packed transport for byte-constrained
+    deployments (parity pytest pins both modes identical)."""
+    return os.environ.get("TILEGEN_GEOM_PACK", "0") == "1"
 
 
 def _pack_for(extent: int) -> bool:
@@ -915,6 +929,117 @@ def key_pack() -> bool:
     return os.environ.get("TILEGEN_KEY_PACK", "1") == "1"
 
 
+#: public per-tile schema produced by the Arrow tile builder (identical to
+#: the JVM finish() path's schema, column-for-column and field-for-field)
+TILE_LISTS_SCHEMA = (
+    "z int, x bigint, y bigint, "
+    "features array<struct<feature_id:bigint,kind:string,"
+    "geom:array<array<int>>,props:map<string,string>>>, n_features int")
+
+
+def _tile_rows_arrow():
+    """r7 (guide §4.2): the post-exchange tail of the dim-mode aggregation —
+    packed-geom unpack/nest, per-tile collect, feature_id sort — as ONE
+    vectorized Arrow pass instead of JVM interpreted expressions.
+
+    The JVM tail was measured (noop-isolated, bench shape, 12.75M rows):
+    PACKED_NEST_GEOM_EXPR ≈ 2.9 s (transform/flatten are CodegenFallback —
+    interpreted lambda eval + a 2-int array alloc per vertex), collect_list
+    + interpreted-comparator array_sort ≈ 2.5 s. Here the same work is one
+    np.lexsort over the partition, one take per column, and ListArray
+    re-assembly over the flat int buffer (shift/mask on the whole vertex
+    array at once). Correct by the exchange's contract: the input is
+    hash-partitioned on _txy, so every row of a tile is in exactly one
+    partition, and batches are accumulated per partition before grouping.
+    Feature order inside a tile is ascending feature_id — exactly _by_fid
+    (ids are unique per tile, so the sort is total either way).
+    """
+    import pyarrow as pa
+    mask = _TXY_MASK
+
+    def _one(col):
+        c = col.combine_chunks()
+        return c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+
+    def fn(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        tb = pa.Table.from_batches(bl)
+        n = tb.num_rows
+        if n == 0:
+            return
+        txy = tb.column("_txy").to_numpy(zero_copy_only=False)
+        fid = tb.column("feature_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((fid, txy))
+        ts = tb.take(pa.array(order, type=pa.int64()))
+        txy_s = txy[order]
+        fid_s = np.ascontiguousarray(fid[order])
+        geom = _one(ts.column("geom"))
+        offc = _one(ts.column("off"))
+        kind_a = _one(ts.column("kind"))
+        props_a = _one(ts.column("props"))
+        # --- ring structure from the (geom, off) flat transport -----------
+        gl = np.diff(geom.offsets.to_numpy(zero_copy_only=False))
+        vals = geom.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int32, copy=False)
+        off_null = pa.compute.is_null(offc).to_numpy(zero_copy_only=False)
+        off_len = np.diff(offc.offsets.to_numpy(zero_copy_only=False))
+        ofv = offc.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        # rings per row: NULL off ⇒ single piece; else len(off)-1 slices
+        rc = np.where(off_null, 1, np.maximum(off_len - 1, 0)).astype(np.int64)
+        n_rings = int(rc.sum())
+        ring_start = np.cumsum(rc) - rc
+        rv = np.zeros(n_rings, dtype=np.int64)      # vertices per ring
+        if off_null.any():
+            rv[ring_start[off_null]] = gl[off_null]
+        nn = ~off_null
+        if nn.any() and ofv.size > 1:
+            d = np.diff(ofv)
+            keep = np.ones(ofv.size - 1, dtype=bool)
+            ends = np.cumsum(off_len[nn])
+            keep[ends[:-1] - 1] = False             # drop cross-row diffs
+            from .clip_vec import _gather
+            rv[_gather(ring_start[nn], rc[nn])] = d[keep]
+        # --- unpack (qx<<16)|qy → interleaved [x, y, …] ints --------------
+        qx = vals >> 16
+        qy = np.bitwise_and(vals, np.int32(0xFFFF))
+        inter = np.empty(vals.size * 2, dtype=np.int32)
+        inter[0::2] = qx
+        inter[1::2] = qy
+        inner_off = np.zeros(n_rings + 1, dtype=np.int32)
+        np.cumsum(2 * rv, out=inner_off[1:])
+        outer_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(rc, out=outer_off[1:])
+        ring_arr = pa.ListArray.from_arrays(
+            pa.array(inner_off, type=pa.int32()),
+            pa.array(inter, type=pa.int32()))
+        geom_nested = pa.ListArray.from_arrays(
+            pa.array(outer_off, type=pa.int32()), ring_arr)
+        feat_struct = pa.StructArray.from_arrays(
+            [pa.array(fid_s, type=pa.int64()), kind_a, geom_nested, props_a],
+            names=["feature_id", "kind", "geom", "props"])
+        # --- tile boundaries over the sorted keys -------------------------
+        brk = np.nonzero(np.diff(txy_s))[0]
+        tstart = np.concatenate(([0], brk + 1))
+        counts = np.diff(np.concatenate((tstart, [n])))
+        toff = np.zeros(tstart.size + 1, dtype=np.int32)
+        np.cumsum(counts, out=toff[1:])
+        features = pa.ListArray.from_arrays(
+            pa.array(toff, type=pa.int32()), feat_struct)
+        txy_t = txy_s[tstart]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array((txy_t >> 58).astype(np.int32), type=pa.int32()),
+             pa.array((txy_t >> 29) & mask, type=pa.int64()),
+             pa.array(txy_t & mask, type=pa.int64()),
+             features,
+             pa.array(counts.astype(np.int32), type=pa.int32())],
+            names=["z", "x", "y", "features", "n_features"])
+
+    return fn
+
+
 def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
                            broadcast_dim: bool | None = None,
                            packed: bool | None = None,
@@ -972,6 +1097,25 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
     src = (clipped.select(F.expr(_TXY_PACK).alias("_txy"),
                           "feature_id", "geom", "off")
            if pack_key else clipped)
+
+    # r7 Arrow tail (TILEGEN_AGG_ARROW, default OFF — a committed NEGATIVE
+    # result): the post-exchange tail (unpack/nest, per-tile collect, sort)
+    # as one vectorized Arrow pass. Bit-identical to the JVM tail (parity
+    # pytest) but measured SLOWER fused (17.9 s pipeline vs 16.75 packed-JVM
+    # vs 14.5 unpacked-JVM): the win inside the pass (~1 s of numpy vs
+    # ~5.4 s of interpreted nest + collect/sort) is more than repaid by
+    # moving 12.75M rows of kind/props maps across Arrow and converting the
+    # deep nested output back to UnsafeRows. Kept selectable for profiling,
+    # and as the reference that the JVM tail's remaining cost is boundary-
+    # bound, not compute-bound. Requires the packed geom transport.
+    if (pack_key and (packed if packed is not None else geom_pack())
+            and os.environ.get("TILEGEN_AGG_ARROW", "0") == "1"
+            and os.environ.get("TILEGEN_DIM_TWOPHASE", "0") != "1"):
+        joined = (src.repartition(n_agg, "_txy")
+                  .join(d, "feature_id", "left")
+                  .select("_txy", "feature_id", "geom", "off", "kind",
+                          "props"))
+        return joined.mapInArrow(_tile_rows_arrow(), TILE_LISTS_SCHEMA)
 
     def finish(rows: DataFrame) -> DataFrame:
         full = (nest_geom(rows, packed=packed).join(d, "feature_id", "left")
