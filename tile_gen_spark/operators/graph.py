@@ -50,12 +50,41 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     checkpointed data.
     """
     spark = vertices.sparkSession
+    # r7 (ADVICE r6): reliable mode used to leave every round's full label
+    # snapshot on storage (Spark only auto-cleans checkpoints with
+    # cleanCheckpoints=true, default false) — a 25-round run kept 25 label
+    # copies — and permanently overwrote the session's checkpoint dir.
+    # Each round now checkpoints into its own subdirectory; once round k's
+    # data is materialized, round k-1's subdirectory is deleted (round k no
+    # longer references it — the checkpoint IS the materialization), so at
+    # most two snapshots ever exist, and the caller's checkpoint dir is
+    # restored on exit.
+    _round_dirs: list[str] = []
+    _orig_dir = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        _orig_dir = opt.get() if opt.isDefined() else None
+
+    def _rm(path: str) -> None:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(p, True)
 
     def cut(df: DataFrame) -> DataFrame:
-        return (df.checkpoint(eager=True) if checkpoint_dir is not None
-                else df.localCheckpoint(eager=True))
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        sub = f"{checkpoint_dir.rstrip('/')}/cc-round-{len(_round_dirs)}"
+        spark.sparkContext.setCheckpointDir(sub)
+        out = df.checkpoint(eager=True)
+        _round_dirs.append(sub)
+        if len(_round_dirs) > 1:
+            _rm(_round_dirs[-2])
+        return out
+
+    def _restore_dir() -> None:
+        if checkpoint_dir is not None and _orig_dir is not None:
+            spark.sparkContext.setCheckpointDir(_orig_dir)
 
     sym = (edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
            .unionByName(edges.select(F.col("id_b").alias("src"),
@@ -81,7 +110,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         changed = int(obs.get["changed"] or 0)
         lbl = nxt.drop("_changed")
         if changed == 0:
+            _restore_dir()
             return lbl
+    _restore_dir()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the near-dup regime this loop targets; "

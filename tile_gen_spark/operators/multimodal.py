@@ -144,18 +144,22 @@ def _real_or_fake(use_real: bool):
     NotImplementedError at runtime. The wrapper attempts the real decode
     and degrades to the deterministic fake with one stderr note per worker
     instead of failing the batch."""
-    state = {"real": use_real}
+    # r7 (ADVICE r6): fallback tracked PER KIND — one shared flag let the
+    # first audio row on a PIL-but-no-av worker (a config the driver gate's
+    # "pil or av" explicitly allows) permanently flip ALL kinds to the fake,
+    # making image output row-order-dependent within the task.
+    state = {"image": use_real, "audio": use_real}
 
     def decode(payload: bytes, kind: str, w: int, h: int) -> np.ndarray:
-        if state["real"] and kind in ("image", "audio"):
+        if state.get(kind):
             try:
                 return _decode_real(payload, kind)
             except NotImplementedError as e:
                 import sys
-                print(f"[multimodal] real decode unavailable on this "
+                print(f"[multimodal] real {kind} decode unavailable on this "
                       f"worker ({e}); using deterministic fake",
                       file=sys.stderr)
-                state["real"] = False
+                state[kind] = False
         return _decode_fake(payload, w, h)
 
     return decode

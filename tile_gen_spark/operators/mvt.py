@@ -358,6 +358,13 @@ def write_mvt_tree(encoded: DataFrame, out_dir: str) -> dict:
     import os as _os
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid as _uuid
+        # r7 (ADVICE r6): pid-only tmp names can COLLIDE across hosts on the
+        # documented shared-filesystem deployment (two attempts of one task
+        # on different machines can share a pid and interleave writes into
+        # the same tmp, renaming a torn tile). uuid4 per task makes the tmp
+        # globally unique; rename stays the atomic commit.
+        suffix = _uuid.uuid4().hex
         n = 0
         total = 0
         for b in batches:
@@ -365,7 +372,7 @@ def write_mvt_tree(encoded: DataFrame, out_dir: str) -> dict:
                 d = _os.path.join(out_dir, str(int(z)), str(int(x)))
                 _os.makedirs(d, exist_ok=True)
                 p = _os.path.join(d, f"{int(y)}.mvt")
-                tmp = f"{p}.tmp.{_os.getpid()}"
+                tmp = f"{p}.tmp.{suffix}"
                 data = bytes(mvt)
                 with open(tmp, "wb") as f:
                     f.write(data)

@@ -1077,6 +1077,13 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
     join for dims too big to broadcast (adds that join's exchange only);
     None reads TILEGEN_BROADCAST_DIM (default: force broadcast).
     """
+    # r7 (ADVICE r6): a direct caller with z > 29 used to get silently
+    # corrupted packed keys (x bits overflow into the z field). When the
+    # caller did NOT certify the zoom range by passing pack_key explicitly
+    # (build_tile_features passes key_pack() and max(zooms) <= 29), the
+    # pack expression carries an in-plan guard — one int compare per row —
+    # that raises instead of corrupting.
+    guarded = pack_key is None
     if pack_key is None:
         pack_key = key_pack()
     d = _dim_join_side(dim.select("feature_id", "kind", "props"), broadcast_dim)
@@ -1094,7 +1101,12 @@ def tile_feature_lists_dim(clipped: DataFrame, dim: DataFrame, salt: int = 0,
     n_agg *= int(os.environ.get("TILEGEN_AGG_OVERPART", "4"))
 
     keys = ["_txy"] if pack_key else ["z", "x", "y"]
-    src = (clipped.select(F.expr(_TXY_PACK).alias("_txy"),
+    pack_expr = (_TXY_PACK if not guarded else
+                 "(CAST(IF(z <= 29, z, CAST(raise_error("
+                 "'tile_feature_lists_dim: packed tile key requires z <= 29; "
+                 "pass pack_key=False for deeper zooms') AS INT)) AS BIGINT) "
+                 "<< 58) | (x << 29) | y")
+    src = (clipped.select(F.expr(pack_expr).alias("_txy"),
                           "feature_id", "geom", "off")
            if pack_key else clipped)
 
