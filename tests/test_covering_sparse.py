@@ -140,7 +140,7 @@ def test_slow_batch_sparse_routing_matches_dense(grid_cap):
     def canon(df):
         df = df.copy()
         df["geom"] = df["geom"].apply(tuple)
-        df["off"] = df["off"].apply(tuple)
+        df["off"] = df["off"].apply(lambda o: tuple(o) if o is not None else None)
         return df.sort_values(["z", "x", "y", "feature_id", "geom"]).reset_index(drop=True)
 
     grid_cap(DENSE)

@@ -811,9 +811,11 @@ def _parts_to_pandas(parts: list[tuple], pack: bool) -> pd.DataFrame:
         rows["y"].extend(y.tolist())
         rows["feature_id"].extend(fid.tolist())
         rows["geom"].extend(a.tolist() for a in np.split(gvals, goff[1:-1]))
+        # r7b: NULL off for single-piece rows in BOTH transports (was
+        # packed-only) — ~90% of rows drop the off array from the exchange
+        # and nest via a single array(geom) wrap
         offs = [a.tolist() for a in np.split(ovals, ooff[1:-1])]
-        if pack:
-            offs = [None if s else o for o, s in zip(offs, osingle)]
+        offs = [None if s else o for o, s in zip(offs, osingle)]
         rows["off"].extend(offs)
     return pd.DataFrame({
         "z": pd.Series(rows["z"], dtype="int32"),
@@ -837,7 +839,7 @@ def parts_to_batches(parts: list[tuple], pack: bool):
             continue
         geom = pa.ListArray.from_arrays(
             pa.array(goff.astype(np.int32)), pa.array(gvals, pa.int32()))
-        mask = pa.array(osingle) if pack and osingle.any() else None
+        mask = pa.array(osingle) if osingle.any() else None
         off = pa.ListArray.from_arrays(
             pa.array(ooff.astype(np.int32)), pa.array(ovals, pa.int32()),
             mask=mask)

@@ -44,9 +44,13 @@ CLIP_FLAT_SCHEMA = ("z int, x bigint, y bigint, feature_id bigint, "
                     "geom array<int>, off array<int>")
 
 #: flat (geom, off) → the public nested array<array<int>> ring list —
-#: pure Catalyst expression (sequence/transform/slice), no Python.
-NEST_GEOM_EXPR = ("transform(sequence(1, size(off) - 1), "
-                  "i -> slice(geom, off[i-1] + 1, off[i] - off[i-1]))")
+#: pure Catalyst expression, no Python. r7b: off is NULL for single-piece
+#: rows in BOTH transports (~90% of rows at the bench shape) — those nest
+#: via ONE array(geom) wrap instead of sequence/transform/slice, and the
+#: off array leaves the exchange entirely.
+NEST_GEOM_EXPR = ("if(off IS NULL, array(geom), "
+                  "transform(sequence(1, size(off) - 1), "
+                  "i -> slice(geom, off[i-1] + 1, off[i] - off[i-1])))")
 
 #: r5 PACKED transport decode: geom carries ONE int per VERTEX
 #: ((qx << 16) | qy — lossless for extent ≤ 32767), off counts vertices and
@@ -816,7 +820,7 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
             F.lit(None).cast("array<int>").alias("off"))
     return ex.select("t.z", "t.x", "t.y", "feature_id",
                      F.array("t.qx", "t.qy").cast("array<int>").alias("geom"),
-                     F.array(F.lit(0), F.lit(2)).cast("array<int>").alias("off"))
+                     F.lit(None).cast("array<int>").alias("off"))
 
 
 #: inline-mode finisher: rebuild the public nested struct from the flat agg
@@ -824,8 +828,9 @@ def clip_points_flat(points: DataFrame, zooms: list[int],
 INLINE_NEST_EXPR = (
     "transform(features, f -> named_struct("
     "'feature_id', f.feature_id, 'kind', f.kind, "
-    "'geom', transform(sequence(1, size(f.off) - 1), "
-    "i -> slice(f.geom, f.off[i-1] + 1, f.off[i] - f.off[i-1])), "
+    "'geom', if(f.off IS NULL, array(f.geom), "
+    "transform(sequence(1, size(f.off) - 1), "
+    "i -> slice(f.geom, f.off[i-1] + 1, f.off[i] - f.off[i-1]))), "
     "'props', f.props))")
 
 PACKED_INLINE_NEST_EXPR = (
