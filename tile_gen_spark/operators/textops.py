@@ -102,6 +102,28 @@ def q_minhash_pairs(d: str, num_hashes: int = 16, bands: int = 4,
     The band self-join, Jaccard verification and final joins are unchanged
     (AQE picks broadcast for the small pair set at runtime — deliberately
     NOT a hint, since at 100 TB the pair set can exceed broadcast limits).
+
+    r7 second pass: ``sh_cte`` carries a ``REPARTITION(doc_id, sh)`` hint.
+    Spark inlines CTEs, so without it the shingle subtree
+    (scan → split → explode → md5) is planned per consumer and the AQE
+    runtime only deduplicated it down to TWO materializations (the sig
+    path's partial-agg exchange and the verification path's distinct
+    exchange had different shapes). The hint pins one byte-identical
+    Exchange directly above the generation, so every consumer hits
+    ReusedExchange and the shingles are exploded + md5'd ONCE (executed
+    final plan: ONE materialized shingle Generate + 7 ReusedExchange refs,
+    committed as plans/r07/dedup_minhash_after_executed.txt);
+    ``DISTINCT (doc_id, sh)`` turns partition-local, while sig16 and sizes
+    keep exchanges that are now TINY (map-side partial aggs reduce them to
+    ~1 row/doc first) — guide §2.4 / exchange reuse.
+    Partitioning by (doc_id, sh) rather than doc_id alone keeps a
+    pathological mega-doc's shingles spread across tasks (same skew
+    posture as the old distinct exchange) and measured faster too.
+    Rows trivially identical: a repartition changes placement, not content.
+    Caveat (pinned in tests/test_textops_minhash.py): AQE cannot
+    canonicalize InMemoryTableScan instances as equal, so a CACHED doc
+    source falls back to recomputing per consumer — still correct, just
+    without the reuse; the scan-backed bench path reuses.
     """
     if d == S.SPARK:
         a, b = _hash_ab(num_hashes)
@@ -116,7 +138,8 @@ def q_minhash_pairs(d: str, num_hashes: int = 16, bands: int = 4,
                         for i in range(per_band)) + "))"
             for bb in range(bands))
         return f"""
-WITH sh_cte AS ({shingles_cte(d, shingle_n)}),
+WITH sh_src AS ({shingles_cte(d, shingle_n)}),
+sh_cte AS (SELECT /*+ REPARTITION(doc_id, sh) */ doc_id, sh FROM sh_src),
 shh AS (SELECT doc_id, {h} % {P31} AS hm FROM sh_cte),
 sig16 AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
 buckets AS (
